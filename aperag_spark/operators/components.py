@@ -1,0 +1,70 @@
+"""Connected components over an edge DataFrame via iterative joins
+(the "hash-min" label-propagation variant of large-star/small-star;
+see Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+The reference computes components with an in-memory BFS over the batch's
+adjacency dict (lightrag.py:387-439) purely to scope locks; the rebuild uses
+CC for something semantic — collapsing alias groups found by MinHash-LSH into
+canonical entity ids — so it must run distributed.
+
+Scale notes: each iteration is one self-join + one groupBy-min; lineage is
+cut with localCheckpoint() per iteration so plans don't grow superlinearly;
+convergence is detected by counting changed labels (an aggregate, not a
+collect of the data). Alias clusters are tiny-diameter (name variants), so
+iterations ~ O(log d) ≈ 2-4 in practice; max_iter bounds pathology.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """edges(src,dst) → (node, component) where component = min node id in
+    the component (string min). Undirected; isolated nodes absent from
+    `edges` are absent from the result."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # labels: node → current min label over closed neighborhood
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least("a", "nbr_min").alias("component"),
+        )
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # propagate: every node takes min(label(self), min over neighbors' labels)
+        nbr_labels = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_labels, labels.node == nbr_labels.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,114 @@
+"""Triple extraction: chunk → (entity | relation) mention rows.
+
+The reference calls an LLM per chunk with the entity_extraction prompt
+(operate.py:641-814) and parses the reply's record grammar
+(operate.py:686-718, 152-230). The rebuild batches the "LLM" —
+a deterministic extractor stub, textproc.deterministic_extract — inside an
+Arrow pandas UDF so one Python invocation handles thousands of chunks
+(the Spark analog of the reference's Semaphore(20) concurrency cap,
+lightrag_manager.py:42). Swapping in a real LLM endpoint means replacing
+one function inside the same mapInPandas — the batching, schema, and
+downstream plan are unchanged.
+
+Output carries (file_path, chunk_order_index, record_idx) so downstream
+aggregations can reproduce the reference's insertion-order-dependent
+behaviors (entity-type tie-break operate.py:296-301, stub-node first-writer
+operate.py:431-443) deterministically under any shuffle.
+
+Gleaning (operate.py:746-767) is a loop over the same extractor inside the
+UDF; production config runs gleaning=0 (lightrag_manager.py:45), which is
+what we ship.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from aperag_spark.textproc import deterministic_extract, parse_extraction_result
+
+MENTIONS_SCHEMA = (
+    "kind string, entity_name string, entity_type string, description string, "
+    "src_id string, tgt_id string, weight double, keywords string, "
+    "source_id string, file_path string, chunk_order_index int, record_idx int"
+)
+
+
+def extract_mentions(chunks: DataFrame, extractor=deterministic_extract) -> DataFrame:
+    """chunks → union of raw entity/relation mention rows (kind column
+    discriminates; explode happens here, not in a second pass)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for chunk_id, content, file_path, chunk_idx in zip(
+                pdf["chunk_id"], pdf["content"], pdf["file_path"], pdf["chunk_order_index"]
+            ):
+                result = extractor(content)
+                entities, relations = parse_extraction_result(result)
+                rec_idx = 0
+                for e in entities:
+                    rows.append(
+                        {
+                            "kind": "entity",
+                            "entity_name": e["entity_name"],
+                            "entity_type": e["entity_type"],
+                            "description": e["description"],
+                            "src_id": None,
+                            "tgt_id": None,
+                            "weight": None,
+                            "keywords": None,
+                            "source_id": chunk_id,
+                            "file_path": file_path,
+                            "chunk_order_index": int(chunk_idx),
+                            "record_idx": rec_idx,
+                        }
+                    )
+                    rec_idx += 1
+                for r in relations:
+                    rows.append(
+                        {
+                            "kind": "relation",
+                            "entity_name": None,
+                            "entity_type": None,
+                            "description": r["description"],
+                            "src_id": r["src_id"],
+                            "tgt_id": r["tgt_id"],
+                            "weight": r["weight"],
+                            "keywords": r["keywords"],
+                            "source_id": chunk_id,
+                            "file_path": file_path,
+                            "chunk_order_index": int(chunk_idx),
+                            "record_idx": rec_idx,
+                        }
+                    )
+                    rec_idx += 1
+            yield pd.DataFrame(rows, columns=[c.split(" ")[0] for c in MENTIONS_SCHEMA.split(", ")])
+
+    return chunks.mapInPandas(_extract, schema=MENTIONS_SCHEMA)
+
+
+def split_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    raw_entities = mentions.where(mentions.kind == "entity").select(
+        "entity_name",
+        "entity_type",
+        "description",
+        "source_id",
+        "file_path",
+        "chunk_order_index",
+        "record_idx",
+    )
+    raw_relations = mentions.where(mentions.kind == "relation").select(
+        "src_id",
+        "tgt_id",
+        "weight",
+        "description",
+        "keywords",
+        "source_id",
+        "file_path",
+        "chunk_order_index",
+        "record_idx",
+    )
+    return raw_entities, raw_relations
