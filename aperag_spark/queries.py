@@ -1,0 +1,843 @@
+"""Driver-facing query battery: every entry has a Spark implementation
+(`QUERIES[name]`, callable (spark, sf_dir) → DataFrame) and, where
+SQL-expressible, an equivalent DuckDB oracle (`ORACLES[name]`). These run
+over the driver-provided parquet tables and mirror the operator shapes of
+the KG pipeline (SURVEY.md §2) plus the training-data-pipeline operators
+(dedup / similarity / text analysis).
+
+Engine-agreement rules used throughout (so value-hashes match):
+  * every computed column is aliased identically on both sides;
+  * float sums over many rows go through DECIMAL(18,4) (exact) and are cast
+    back to double — double accumulation order differs between engines;
+  * floats in output are round()ed; ranks order by rounded values with
+    deterministic tie-breaks;
+  * counts cast to bigint (DuckDB count → BIGINT, Spark count → LONG).
+
+`documents.text` is the stand-in corpus: words are the "entity mentions",
+adjacent-word pairs the "relations" — same operator shapes as the KG
+pipeline (explode → canonical pair → groupBy merge → degree → top-k), but
+fully oracle-checkable. The real pipeline over `pages` is exercised by
+tests/test_parity.py and bench.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+# The tokenizer regex, shared verbatim with the DuckDB oracles (RE2 and Java
+# regex agree on this subset).
+TOKEN_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\w\s]+|\s+"
+_SQL_TOKEN_REGEX = TOKEN_REGEX.replace("'", "''")
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
+_SQL_STOPWORDS = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+CHUNK_SIZE = 60  # documents are 10-99 tokens; 60/10 gives multi-chunk docs
+CHUNK_OVERLAP = 10
+N_MINHASH = 8
+MIN_WORD_LEN = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _words(col="text"):
+    return F.split(F.col(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# KG-shaped queries over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_kg_chunking(spark, sf_dir):
+    """C1 chunker (operate.py:71-115 semantics) over documents.text with the
+    production window/stride logic at corpus-appropriate size."""
+    import pandas as pd
+
+    from aperag_spark.textproc import Tokenizer, chunking_by_token_size
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = Tokenizer()
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for ch in chunking_by_token_size(
+                    tok, text, overlap_token_size=CHUNK_OVERLAP, max_token_size=CHUNK_SIZE
+                ):
+                    if not ch["content"]:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "chunk_order_index": ch["chunk_order_index"],
+                            "tokens": ch["tokens"],
+                            "content": ch["content"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_order_index", "tokens", "content"]
+            )
+
+    return docs.mapInPandas(
+        _chunk, "doc_id bigint, chunk_order_index int, tokens int, content string"
+    )
+
+
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+ORACLE_KG_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_REGEX}') AS t
+  FROM documents
+), win AS (
+  -- unnest(generate_series(...)) supports column-dependent bounds
+  -- (lateral table-function args don't in DuckDB 1.0)
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {_STRIDE})) AS s
+  FROM toks
+  WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) / {_STRIDE} AS INT) AS chunk_order_index,
+       CAST(least({CHUNK_SIZE}, len(t) - s + 1) AS INT) AS tokens,
+       trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), '')) AS content
+FROM win
+WHERE trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), '')) <> ''
+"""
+
+
+def q_kg_chunk_ids(spark, sf_dir):
+    """C3: chunk-id assignment, chunk-<md5(content)> (lightrag.py:652,
+    utils.py:111-132) — JVM-native md5, no UDF."""
+    chunks = q_kg_chunking(spark, sf_dir)
+    return chunks.select(
+        "doc_id",
+        "chunk_order_index",
+        F.concat(F.lit("chunk-"), F.md5(F.col("content"))).alias("chunk_id"),
+    )
+
+
+ORACLE_KG_CHUNK_IDS = f"""
+WITH chunks AS ({ORACLE_KG_CHUNKING})
+SELECT doc_id, chunk_order_index, 'chunk-' || md5(content) AS chunk_id FROM chunks
+"""
+
+
+def q_kg_mentions(spark, sf_dir):
+    """E5-analog: mention extraction — words ≥{MIN_WORD_LEN} chars are the
+    'entities' of the word-salad corpus; groupBy merge = M2."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_words()).alias("mention"))
+        .where(F.length("mention") >= MIN_WORD_LEN)
+        .groupBy("mention")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("mention_count"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_KG_MENTIONS = f"""
+SELECT mention,
+       CAST(count(*) AS BIGINT) AS mention_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS mention FROM documents)
+WHERE length(mention) >= {MIN_WORD_LEN}
+GROUP BY mention
+"""
+
+
+def q_kg_entity_merge(spark, sf_dir):
+    """M4/M5 merge semantics: per entity, '<SEP>'-joined sorted-set of
+    provenance (source column), min doc (operate.py:303-310 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", F.explode(_words()).alias("mention"))
+        .where(F.length("mention") >= MIN_WORD_LEN)
+        .groupBy("mention")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), "<SEP>").alias("sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("mention_count"),
+        )
+    )
+
+
+ORACLE_KG_ENTITY_MERGE = f"""
+SELECT mention,
+       array_to_string(list_sort(list_distinct(array_agg(source))), '<SEP>') AS sources,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(count(*) AS BIGINT) AS mention_count
+FROM (SELECT doc_id, source, unnest(string_split_regex(text, '\\s+')) AS mention
+      FROM documents)
+WHERE length(mention) >= {MIN_WORD_LEN}
+GROUP BY mention
+"""
+
+
+def _bigram_edges(spark, sf_dir):
+    """Adjacent-word pairs → canonical (least, greatest) undirected edges
+    (M8, operate.py:553-555), self-loops dropped (operate.py:206-208)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", _words().alias("ws"))
+    pairs = docs.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("a"),
+                    F.element_at("ws", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(
+            (F.length("a") >= MIN_WORD_LEN)
+            & (F.length("b") >= MIN_WORD_LEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            "doc_id",
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("tgt"),
+        )
+    )
+
+
+_SQL_BIGRAM_EDGES = f"""
+  SELECT doc_id, least(a, b) AS src, greatest(a, b) AS tgt
+  FROM (
+    SELECT doc_id, w[s] AS a, w[s + 1] AS b
+    FROM (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents) ws
+      WHERE len(w) >= 2
+    )
+  )
+  WHERE length(a) >= {MIN_WORD_LEN} AND length(b) >= {MIN_WORD_LEN} AND a <> b
+"""
+
+
+def q_kg_relations(spark, sf_dir):
+    """M9 edge merge: weight = SUM of occurrences (operate.py:406),
+    provenance = distinct doc count."""
+    return (
+        _bigram_edges(spark, sf_dir)
+        .groupBy("src", "tgt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+ORACLE_KG_RELATIONS = f"""
+SELECT src, tgt, CAST(count(*) AS BIGINT) AS weight,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ({_SQL_BIGRAM_EDGES})
+GROUP BY src, tgt
+"""
+
+
+def q_kg_node_degree(spark, sf_dir):
+    """G1 node_degree (db/repositories/graph.py:212-229): explode canonical
+    edge endpoints, one groupBy."""
+    edges = q_kg_relations(spark, sf_dir)
+    return (
+        edges.select(F.explode(F.array("src", "tgt")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+ORACLE_KG_NODE_DEGREE = f"""
+WITH edges AS ({ORACLE_KG_RELATIONS})
+SELECT entity, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT src AS entity FROM edges UNION ALL SELECT tgt FROM edges)
+GROUP BY entity
+"""
+
+
+def q_kg_top_entities(spark, sf_dir):
+    """Flagship read query: top-20 entities by degree with total edge weight
+    (rank=degree ranking of operate.py:1239-1368 / Q5 edge ordering)."""
+    edges = q_kg_relations(spark, sf_dir)
+    contrib = edges.select(
+        F.explode(F.array("src", "tgt")).alias("entity"), "weight"
+    )
+    agg = contrib.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
+    )
+    w = Window.orderBy(F.desc("degree"), F.desc("total_weight"), F.asc("entity"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "entity", "degree", "total_weight")
+    )
+
+
+ORACLE_KG_TOP_ENTITIES = f"""
+WITH edges AS ({ORACLE_KG_RELATIONS}),
+contrib AS (
+  SELECT src AS entity, weight FROM edges
+  UNION ALL SELECT tgt, weight FROM edges
+), agg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree,
+         CAST(sum(weight) AS BIGINT) AS total_weight
+  FROM contrib GROUP BY entity
+)
+SELECT CAST(row_number() OVER (ORDER BY degree DESC, total_weight DESC, entity) AS BIGINT) AS rank,
+       entity, degree, total_weight
+FROM agg
+QUALIFY rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content (one shuffle on a 32-byte key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingle_col():
+    """Distinct 3-word shingles as array<string> — JVM expressions only."""
+    ws = _words()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        )
+    )
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+"""
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures: per (doc, seed), min over shingles of
+    md5(shingle:seed). Portable hash (md5) so the oracle reproduces it;
+    at production scale this is the same shape with xxhash64."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _shingle_col().alias("shingles"))
+        .where(F.size("shingles") >= 1)
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
+    return docs.select("doc_id", "shingles", seeds).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("seed").cast("int").alias("seed"),
+        F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.md5(F.concat(s, F.lit(":"), F.col("seed").cast("string"))),
+            )
+        ).alias("minhash"),
+    )
+
+
+ORACLE_DEDUP_MINHASH_SIG = f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(g.generate_series AS INT) AS seed,
+       list_aggregate(
+         list_transform(shingles, s -> md5(s || ':' || g.generate_series)), 'min'
+       ) AS minhash
+FROM sh, generate_series(0, {N_MINHASH - 1}) g
+WHERE len(shingles) >= 1
+"""
+
+
+def q_dedup_minhash_candidates(spark, sf_dir):
+    """LSH banding: docs sharing any (seed, minhash) bucket become candidate
+    pairs, then exact shingle-Jaccard is computed per pair (verify step).
+    Self-join on the bucket key — at scale, bucket sizes bound the quadratic
+    blow-up (no all-pairs comparison ever happens)."""
+    sig = q_dedup_minhash_sig(spark, sf_dir)
+    pairs = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["seed", "minhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _shingle_col().alias("shingles"))
+        .where(F.size("shingles") >= 1)
+    )
+    return (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_MINHASH_CANDIDATES = f"""
+WITH sig AS ({ORACLE_DEDUP_MINHASH_SIG}),
+sh AS ({_SQL_SHINGLES}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sig x JOIN sig y ON x.seed = y.seed AND x.minhash = y.minhash
+  WHERE x.doc_id < y.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM pairs JOIN sh a ON pairs.doc_a = a.doc_id JOIN sh b ON pairs.doc_b = b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per doc: per-word 32-bit hash
+    (md5-derived, portable), occurrence-weighted bit vote, vote sign →
+    fingerprint bits. All JVM expressions (conv/shift), no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
+    )
+    bits = wc.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN cnt ELSE -cnt END")
+        ).alias("vote")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+        ).cast("bigint").alias("simhash")
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
+
+
+ORACLE_DEDUP_SIMHASH = """
+WITH wc AS (
+  SELECT doc_id, w, count(*) AS cnt,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w
+), votes AS (
+  SELECT doc_id, g.generate_series AS bit,
+         sum(CASE WHEN (h >> g.generate_series) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+  FROM wc, generate_series(0, 31) g
+  GROUP BY doc_id, g.generate_series
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def q_sim_topk(spark, sf_dir, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: broadcast the query set against the corpus,
+    window-rank per query. The O(n·q) baseline every ANN variant is measured
+    against; at 100 TB the corpus side stays partition-parallel and only the
+    query side broadcasts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("vec_id").cast("bigint").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id,
+         CAST(e.vec_id AS BIGINT) AS neighbor_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+       neighbor_id, cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_sim_knn_label(spark, sf_dir, n_queries: int = 20, k: int = 5):
+    """kNN majority-vote classification: top-k neighbors per query, majority
+    label (ties → smaller label). Join + two windows + groupBy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("label"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            F.col("vec_id"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    votes = top.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("label").cast("bigint").alias("predicted_label"),
+        )
+    )
+
+
+ORACLE_SIM_KNN_LABEL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.label, e.vec_id,
+         round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+), top AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored QUALIFY rn <= 5
+), votes AS (
+  SELECT query_id, label, count(*) AS cnt FROM top GROUP BY query_id, label
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(label AS BIGINT) AS predicted_label
+FROM (SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+      FROM votes) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data quality operators)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality scoring: length / distinct ratio / stopword
+    ratio, all JVM-side array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("bigint").alias("n_distinct"),
+        F.round(F.length("text") / F.size(ws), 4).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / F.size(ws), 4
+        ).alias("stopword_ratio"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH ws AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       round(length(text)::DOUBLE / len(w), 4) AS avg_token_len,
+       round(len(list_filter(w, x -> x IN {_SQL_STOPWORDS}))::DOUBLE / len(w), 4) AS stopword_ratio
+FROM ws
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct token set —
+    word-order-insensitive content identity."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(_words())), " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / time-series coverage (events + TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def _dsum(col):
+    """Engine-agreement exact sum: decimal accumulate, double render."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+def q_events_hourly(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(_dsum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir, gap_minutes: int = 30):
+    """Sessionization: gap > 30 min starts a new session (lag window +
+    running sum) — the canonical stateful-window pattern."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "new_session", F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("new_session"))
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ).select(F.col("user_id").cast("bigint").alias("user_id"), "n_sessions", "n_events")
+
+
+ORACLE_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (decimal-exact aggregation)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(d("l_quantity")).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(d("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+        F.round(
+            F.sum(
+                (d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount"))).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double"),
+            4,
+        ).alias("sum_disc_price"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+ORACLE_TPCH_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1.0000 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE), 4) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir, k: int = 25):
+    """Join + agg + window top-k: highest-spend customers (broadcast the
+    small dimension side)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(_dsum("o_totalprice"), 4).alias("total_spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    joined = spend.join(
+        F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
+        spend.o_custkey == cust.c_custkey,
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            "total_spend",
+            "n_orders",
+        )
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+WITH spend AS (
+  SELECT o_custkey,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_spend,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(row_number() OVER (ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rank,
+       CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment, total_spend, n_orders
+FROM spend JOIN customer ON o_custkey = c_custkey
+QUALIFY rank <= 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_chunking": q_kg_chunking,
+    "kg_chunk_ids": q_kg_chunk_ids,
+    "kg_mentions": q_kg_mentions,
+    "kg_entity_merge": q_kg_entity_merge,
+    "kg_relations": q_kg_relations,
+    "kg_node_degree": q_kg_node_degree,
+    "kg_top_entities": q_kg_top_entities,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_candidates": q_dedup_minhash_candidates,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk": q_sim_topk,
+    "sim_knn_label": q_sim_knn_label,
+    "text_stats": q_text_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "tpch_pricing": q_tpch_pricing,
+    "top_customers": q_top_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "kg_chunking": ORACLE_KG_CHUNKING,
+    "kg_chunk_ids": ORACLE_KG_CHUNK_IDS,
+    "kg_mentions": ORACLE_KG_MENTIONS,
+    "kg_entity_merge": ORACLE_KG_ENTITY_MERGE,
+    "kg_relations": ORACLE_KG_RELATIONS,
+    "kg_node_degree": ORACLE_KG_NODE_DEGREE,
+    "kg_top_entities": ORACLE_KG_TOP_ENTITIES,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
+    "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "sim_topk": ORACLE_SIM_TOPK,
+    "sim_knn_label": ORACLE_SIM_KNN_LABEL,
+    "text_stats": ORACLE_TEXT_STATS,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_sessions": ORACLE_EVENTS_SESSIONS,
+    "tpch_pricing": ORACLE_TPCH_PRICING,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+}

@@ -1,0 +1,86 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+  1. The KG-construction pipeline (the north-rule workload) over
+     deterministically generated `pages` — reports wall-clock and
+     triples/sec. Page count scales with the sf of $SPARK_GRAFT_SF_DIR.
+  2. Every driver-facing query from aperag_spark.queries at
+     $SPARK_GRAFT_SF_DIR — per-query seconds.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32). The N-vs-4N scaling run
+(north rule: efficiency >= 0.8) is scripts/scaling_bench.py, results in
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = SF_DIR.rstrip("/").split("sf")[-1]
+# pages for the KG pipeline bench, scaled by sf
+N_PAGES = {"0.001": 100, "0.01": 400, "0.1": 1500}.get(SF, 1500)
+
+
+def main() -> None:
+    from aperag_spark.plans.pipeline import run_pipeline
+    from aperag_spark.queries import QUERIES
+    from aperag_spark.session import get_spark
+    from aperag_spark.synth import gen_pages_df
+
+    spark = get_spark(
+        app_name="aperag-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- part 1: KG pipeline throughput ---
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    pages = gen_pages_df(spark, N_PAGES, seed=42, partitions=max(CPUS, 16))
+    t0 = time.time()
+    res = run_pipeline(spark, pages, out_dir, input_fingerprint=f"bench:{N_PAGES}")
+    n_triples = res["relations"].count()
+    kg_sec = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- part 2: driver-facing queries ---
+    q_secs: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        q_secs[name] = round(time.time() - t0, 3)
+
+    total = round(kg_sec + sum(q_secs.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline+queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": q_secs,
+                "sf": SF,
+                "kg_pipeline": {
+                    "pages": N_PAGES,
+                    "triples": n_triples,
+                    "sec": round(kg_sec, 3),
+                    "triples_per_sec": round(n_triples / kg_sec, 2),
+                },
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
