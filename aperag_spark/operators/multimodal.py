@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched pandas UDFs over
+mapInPandas.
+
+The reference parses documents via MarkItDown and stores extracted assets to
+object storage (aperag/index/document_parser.py:95-126, S4); it has no media
+feature extraction. This module provides the Spark-side plumbing a 100 TB
+multimodal training-data pipeline needs — schema, partitioning, UDF
+signatures, batch shapes — with the codec step STUBBED: the container has no
+image/audio libraries, so `decode_media` raises NotImplementedError unless
+`deterministic_fake=True`, which substitutes a seeded, content-derived fake
+(stable md5-based pixels/samples) so every downstream operator is real and
+testable.
+
+Scale notes: media payloads are large → keep them out of shuffles. Feature
+extraction is a narrow mapInPandas directly over the scan; only the small
+feature vectors (array<float>) ever shuffle. maxRecordsPerBatch should be
+lowered for big payloads (Arrow batch sizing is the memory knob).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, "
+    "mime string, width int, height int, duration_ms int"
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes bigint, sha1 string, "
+    "feature array<float>, frames int"
+)
+
+
+def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False) -> np.ndarray:
+    """Decode a media payload into a sample array.
+
+    Real decoding requires PIL/ffmpeg/soundfile — not present in this
+    container. The fake is a pure function of the payload bytes, so the
+    whole downstream pipeline (feature extraction, batching, similarity)
+    is exercised with stable values.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "pass deterministic_fake=True or install PIL/soundfile"
+        )
+    digest = hashlib.md5(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    if kind == "image":
+        return rng.random((16, 16, 3), dtype=np.float32)
+    if kind == "audio":
+        return rng.random(1024, dtype=np.float32)
+    if kind == "video":
+        return rng.random((4, 16, 16, 3), dtype=np.float32)  # 4 sampled frames
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+def extract_media_features(
+    media: DataFrame, feature_dim: int = 8, deterministic_fake: bool = True
+) -> DataFrame:
+    """media → per-item feature rows. Narrow (no shuffle); payload bytes
+    never leave the scan task."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                data = bytes(payload)
+                arr = decode_media(data, kind, deterministic_fake=deterministic_fake)
+                flat = arr.reshape(-1)
+                # mean-pooled banded feature: deterministic, shape-stable
+                bands = np.array_split(flat, feature_dim)
+                feature = [float(np.float32(b.mean())) for b in bands]
+                frames = int(arr.shape[0]) if kind == "video" else 1
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(data),
+                        "sha1": hashlib.sha1(data).hexdigest(),
+                        "feature": feature,
+                        "frames": frames,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_bytes", "sha1", "feature", "frames"],
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+def gen_media_df(spark, n: int = 64, seed: int = 42, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table (binary payloads) for tests."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                payload = hashlib.md5(f"media:{seed}:{i}".encode()).digest() * (8 + i % 5)
+                rows.append(
+                    {
+                        "media_id": f"m{i}",
+                        "kind": kind,
+                        "payload": payload,
+                        "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                        "width": 16 if kind != "audio" else None,
+                        "height": 16 if kind != "audio" else None,
+                        "duration_ms": 1000 if kind != "image" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(_gen, schema=MEDIA_SCHEMA)

@@ -185,16 +185,19 @@ GROUP BY mention
 def _bigram_edges(spark, sf_dir):
     """Adjacent-word pairs → canonical (least, greatest) undirected edges
     (M8, operate.py:553-555), self-loops dropped (operate.py:206-208)."""
+    # zip_with over a shifted slice, not element_at-in-lambda (see
+    # _shingle_col for why: interpreted HOF lambdas re-evaluate split()).
     docs = _t(spark, sf_dir, "documents").select("doc_id", _words().alias("ws"))
     pairs = docs.where(F.size("ws") >= 2).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
-                lambda i: F.struct(
-                    F.element_at("ws", i).alias("a"),
-                    F.element_at("ws", i + 1).alias("b"),
+            F.filter(
+                F.zip_with(
+                    F.col("ws"),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
                 ),
+                lambda p: p["b"].isNotNull(),
             )
         ).alias("p"),
     )
@@ -326,19 +329,20 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingle_col():
-    """Distinct 3-word shingles as array<string> — JVM expressions only."""
+    """Distinct 3-word shingles as array<string> — JVM expressions only.
+
+    Built with zip_with over shifted slices rather than
+    transform(sequence, i -> element_at(ws, i)): higher-order-function
+    lambdas are interpreted (no whole-stage codegen, no subexpression
+    elimination), so an element_at(ws, i) lambda re-evaluates the split()
+    for every element — O(tokens²) per doc. zip_with passes each array in
+    once as an argument (measured 8.5s → sub-second on sf0.1 documents)."""
     ws = _words()
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-            ),
-        )
-    )
+    w2 = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1)))
+    w3 = F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(1)))
+    pairs = F.zip_with(ws, w2, lambda a, b: F.concat(a, F.lit(" "), b))  # null-tail
+    tri = F.zip_with(pairs, w3, lambda ab, c: F.concat(ab, F.lit(" "), c))
+    return F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
 
 
 _SQL_SHINGLES = """
@@ -361,17 +365,23 @@ def q_dedup_minhash_sig(spark, sf_dir):
         .select("doc_id", _shingle_col().alias("shingles"))
         .where(F.size("shingles") >= 1)
     )
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
-    return docs.select("doc_id", "shingles", seeds).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("seed").cast("int").alias("seed"),
-        F.array_min(
-            F.transform(
-                "shingles",
-                lambda s: F.md5(F.concat(s, F.lit(":"), F.col("seed").cast("string"))),
-            )
-        ).alias("minhash"),
+    # one array of N_MINHASH minhashes per doc, each with a LITERAL seed —
+    # an outer column reference inside the lambda would force per-row
+    # re-evaluation; and the lambda variables need DISTINCT names (sibling
+    # python-lambda HOFs sharing an arg name mis-bind in classic pyspark),
+    # hence SQL expr with s0..s7
+    mh_arr = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(shingles, s{k} -> md5(concat(s{k}, ':{k}'))))"
+            for k in range(N_MINHASH)
+        )
+        + ")"
     )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(mh_arr).alias("seed", "minhash"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 ORACLE_DEDUP_MINHASH_SIG = f"""
@@ -391,14 +401,34 @@ def q_dedup_minhash_candidates(spark, sf_dir):
     pairs, then exact shingle-Jaccard is computed per pair (verify step).
     Self-join on the bucket key — at scale, bucket sizes bound the quadratic
     blow-up (no all-pairs comparison ever happens)."""
+    # bucket-local pair generation: group each (seed, minhash) bucket's
+    # members and emit the O(bucket²) pairs from the sorted member array —
+    # one aggregation instead of a self-join that computes the signature
+    # subplan twice. Bucket sizes bound the blow-up at any scale.
     sig = q_dedup_minhash_sig(spark, sf_dir)
+    buckets = (
+        sig.groupBy("seed", "minhash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
+        .where(F.size("members") > 1)
+    )
     pairs = (
-        sig.alias("x")
-        .join(sig.alias("y"), ["seed", "minhash"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("members") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 1, F.size("members")),
+                            lambda m: F.struct(
+                                F.element_at("members", i).alias("doc_a"),
+                                m.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     sh = (
