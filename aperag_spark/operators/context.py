@@ -1,0 +1,173 @@
+"""Query-side context building (SURVEY.md §2.7) — the read path that turns
+the materialized graph into LLM context blocks:
+
+  Q3 local mode: seed entities from vector search → rank = node degree →
+     1-hop edges + provenance chunks              operate.py:1239-1368
+  Q4 chunk ranking: vdb hit order, dedupe by first occurrence
+                                                  operate.py:1371-1462
+  Q5 edge ordering: (rank=edge degree, weight) desc
+                                                  operate.py:1465-1525
+  Q6 token-budget truncation: greedy prefix while Σ tokens ≤ budget
+                                                  utils.py:252-266, base.py:90-97
+  Q7 context dedupe/merge + re-id                 utils.py:269-297
+  Q8 global mode: seed relations from vector search → endpoints + chunks
+                                                  operate.py:1528-1657
+  hybrid = local ∪ global through Q7              operate.py:1169-1231
+
+Everything is joins + windows over the entities/relations/chunks tables; the
+vector search seeds come from operators.vectors.topk_search. Token counting
+for the budget uses the same tokenizer as chunking, JVM-approximated by the
+chunk's stored token count (exact for chunk sections; entity/relation JSON
+rows use a whitespace token estimate like the reference's tiktoken count —
+deterministic either way)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from aperag_spark.operators.graph_query import node_degree
+
+
+def rank_entities_local(
+    seed_hits: DataFrame, entities: DataFrame, relations: DataFrame
+) -> DataFrame:
+    """Q3: seed entity hits (id=entity name, rank=vdb order) → entity
+    context rows with rank = node degree (operate.py:1295-1310)."""
+    deg = node_degree(relations)
+    return (
+        seed_hits.select(F.col("entity_name").alias("entity_id"), F.col("rank").alias("vdb_rank"))
+        .join(entities, "entity_id")
+        .join(deg, "entity_id", "left")
+        .fillna(0, subset=["degree"])
+        .select(
+            "entity_id",
+            "entity_type",
+            "description",
+            F.col("degree").alias("rank"),
+            "vdb_rank",
+            "source_ids",
+        )
+    )
+
+
+def one_hop_edges(seed_entities: DataFrame, relations: DataFrame) -> DataFrame:
+    """Q5: all edges touching the seed set, ordered by (edge degree, weight)
+    desc (operate.py:1465-1525). Seed set is small → broadcast."""
+    seeds = F.broadcast(seed_entities.select("entity_id").distinct())
+    touching = relations.join(
+        seeds.withColumnRenamed("entity_id", "src_id"), "src_id", "left_semi"
+    ).unionByName(
+        relations.join(
+            seeds.withColumnRenamed("entity_id", "tgt_id"), "tgt_id", "left_semi"
+        )
+    ).dropDuplicates(["src_id", "tgt_id"])
+    deg = node_degree(relations)
+    ranked = (
+        touching.join(deg.withColumnRenamed("entity_id", "src_id").withColumnRenamed("degree", "sd"), "src_id")
+        .join(deg.withColumnRenamed("entity_id", "tgt_id").withColumnRenamed("degree", "td"), "tgt_id")
+        .withColumn("rank", F.col("sd") + F.col("td"))  # edge_degree — G2
+        .drop("sd", "td")
+    )
+    w = Window.orderBy(F.desc("rank"), F.desc("weight"), F.asc("src_id"), F.asc("tgt_id"))
+    return ranked.withColumn("order", F.row_number().over(w))
+
+
+def related_chunks(
+    seed_entities: DataFrame, chunks: DataFrame
+) -> DataFrame:
+    """Q4: provenance chunks of the seed entities, ordered by the seed's vdb
+    hit order, deduped by first occurrence (operate.py:1371-1462)."""
+    prov = seed_entities.select(
+        "entity_id", F.col("vdb_rank"), F.explode("source_ids").alias("chunk_id")
+    )
+    w = Window.partitionBy("chunk_id").orderBy(F.asc("vdb_rank"), F.asc("entity_id"))
+    first = prov.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        first.join(chunks, "chunk_id")
+        .select("chunk_id", "full_doc_id", "content", "tokens", "vdb_rank")
+    )
+
+
+def truncate_by_token_budget(
+    df: DataFrame, order_cols: list, tokens_col: str, budget: int
+) -> DataFrame:
+    """Q6: greedy prefix while the running token total ≤ budget
+    (utils.py:252-266; per-section budgets base.py:90-97)."""
+    w = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_cum", F.sum(tokens_col).over(w)).where(
+        F.col("_cum") <= budget
+    ).drop("_cum")
+
+
+def combine_contexts(*contexts: DataFrame) -> DataFrame:
+    """Q7: union context lists, dedupe on all non-id fields by first
+    occurrence, reassign sequential ids (utils.py:269-297)."""
+    out = contexts[0]
+    for c in contexts[1:]:
+        out = out.unionByName(c)
+    cols = [c for c in out.columns if c != "id"]
+    deduped = out.dropDuplicates(cols)
+    w = Window.orderBy(*[F.asc(c) for c in cols])
+    return deduped.withColumn("id", F.row_number().over(w).cast("string"))
+
+
+def build_local_context(
+    query_text: str,
+    entities: DataFrame,
+    relations: DataFrame,
+    chunks: DataFrame,
+    entity_vdb_df: DataFrame,
+    top_k: int = 60,
+    token_budget: int = 4000,
+) -> dict[str, DataFrame]:
+    """Q3+Q4+Q5+Q6 composition — the `local` query mode
+    (operate.py:1137-1236 routing)."""
+    from aperag_spark.operators.vectors import topk_search
+
+    hits = topk_search(entity_vdb_df, query_text, k=top_k).select(
+        "entity_name", "rank"
+    )
+    seeds = rank_entities_local(hits, entities, relations)
+    edges = one_hop_edges(seeds, relations)
+    chs = related_chunks(seeds, chunks)
+    chs = truncate_by_token_budget(
+        chs, [F.asc("vdb_rank"), F.asc("chunk_id")], "tokens", token_budget
+    )
+    return {"entities": seeds, "relations": edges, "chunks": chs}
+
+
+def build_global_context(
+    query_text: str,
+    entities: DataFrame,
+    relations: DataFrame,
+    chunks: DataFrame,
+    relation_vdb_df: DataFrame,
+    top_k: int = 60,
+    token_budget: int = 4000,
+) -> dict[str, DataFrame]:
+    """Q8: seed relations by vector match → endpoint entities + chunks
+    (operate.py:1528-1657)."""
+    from aperag_spark.operators.vectors import topk_search
+
+    hits = topk_search(relation_vdb_df, query_text, k=top_k).select(
+        "src_id", "tgt_id", F.col("rank").alias("vdb_rank")
+    )
+    edges = hits.join(relations, ["src_id", "tgt_id"])
+    endpoints = (
+        edges.select(F.explode(F.array("src_id", "tgt_id")).alias("entity_id"), "vdb_rank")
+        .groupBy("entity_id")
+        .agg(F.min("vdb_rank").alias("vdb_rank"))
+        .join(entities, "entity_id")
+        .select("entity_id", "entity_type", "description", "vdb_rank", "source_ids")
+    )
+    chs = related_chunks(
+        endpoints.withColumnRenamed("entity_id", "entity_id"), chunks
+    )
+    chs = truncate_by_token_budget(
+        chs, [F.asc("vdb_rank"), F.asc("chunk_id")], "tokens", token_budget
+    )
+    return {"entities": endpoints, "relations": edges, "chunks": chs}

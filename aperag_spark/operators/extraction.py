@@ -90,6 +90,98 @@ def extract_mentions(chunks: DataFrame, extractor=deterministic_extract) -> Data
     return chunks.mapInPandas(_extract, schema=MENTIONS_SCHEMA)
 
 
+def extract_mentions_fused(
+    pages: DataFrame,
+    workspace: str = "",
+    lang_filter: str | None = "en",
+    chunk_token_size: int = 1200,
+    overlap_token_size: int = 100,
+    extractor=deterministic_extract,
+) -> DataFrame:
+    """Fused narrow pipeline: pages → mentions in ONE mapInPandas — the
+    manual operator fusion SURVEY.md §4 anticipates. Everything is per-page
+    local (extract text → doc_id → chunk → extract → parse), so fusing is
+    semantics-preserving (tested against the staged path) and removes two
+    intermediate materializations plus two JVM↔Python Arrow round-trips.
+    Use when resume granularity at texts/chunks level isn't needed."""
+    import pandas as pd
+
+    from aperag_spark.textproc import (
+        Tokenizer,
+        chunking_by_token_size,
+        clean_text,
+        compute_mdhash_id,
+        extract_text_from_html,
+    )
+
+    cols = [c.split(" ")[0] for c in MENTIONS_SCHEMA.split(", ")]
+
+    def _fused(batches):
+        tokenizer = Tokenizer()
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = clean_text(extract_text_from_html(bytes(html)))
+                for ch in chunking_by_token_size(
+                    tokenizer,
+                    text,
+                    overlap_token_size=overlap_token_size,
+                    max_token_size=chunk_token_size,
+                ):
+                    if not ch["content"]:
+                        continue
+                    chunk_id = compute_mdhash_id(
+                        ch["content"], prefix="chunk-", workspace=workspace
+                    )
+                    entities, relations = parse_extraction_result(
+                        extractor(ch["content"])
+                    )
+                    rec_idx = 0
+                    for e in entities:
+                        rows.append(
+                            {
+                                "kind": "entity",
+                                "entity_name": e["entity_name"],
+                                "entity_type": e["entity_type"],
+                                "description": e["description"],
+                                "src_id": None,
+                                "tgt_id": None,
+                                "weight": None,
+                                "keywords": None,
+                                "source_id": chunk_id,
+                                "file_path": url,
+                                "chunk_order_index": ch["chunk_order_index"],
+                                "record_idx": rec_idx,
+                            }
+                        )
+                        rec_idx += 1
+                    for r in relations:
+                        rows.append(
+                            {
+                                "kind": "relation",
+                                "entity_name": None,
+                                "entity_type": None,
+                                "description": r["description"],
+                                "src_id": r["src_id"],
+                                "tgt_id": r["tgt_id"],
+                                "weight": r["weight"],
+                                "keywords": r["keywords"],
+                                "source_id": chunk_id,
+                                "file_path": url,
+                                "chunk_order_index": ch["chunk_order_index"],
+                                "record_idx": rec_idx,
+                            }
+                        )
+                        rec_idx += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    if lang_filter is not None:
+        pages = pages.where(pages.lang == lang_filter)
+    return pages.select("url", "html", "lang").mapInPandas(
+        _fused, schema=MENTIONS_SCHEMA
+    )
+
+
 def split_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
     raw_entities = mentions.where(mentions.kind == "entity").select(
         "entity_name",

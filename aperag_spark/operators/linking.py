@@ -197,7 +197,10 @@ def canonicalize(
             ),
             F.sum("mention_count").alias("mention_count"),
             F.array_sort(F.collect_set("entity_id")).alias("alias_names"),
-            F.max_by("entity_type", "mention_count").alias("entity_type"),
+            # deterministic tie-break: (mention_count, entity_id) max
+            F.max_by(
+                "entity_type", F.struct(F.col("mention_count"), F.col("entity_id"))
+            ).alias("entity_type"),
         )
         .withColumn("description", F.array_join("description_frags", GRAPH_FIELD_SEP))
         .withColumnRenamed("canon_id", "entity_id")

@@ -118,6 +118,7 @@ def run_pipeline(
     input_fingerprint: str = "",
     with_linking: bool = True,
     fail_after_stage: str | None = None,
+    fuse_narrow: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full KG-construction pipeline.
 
@@ -137,9 +138,19 @@ def run_pipeline(
             raise RuntimeError(f"injected failure after stage {name}")
         return results[name]
 
-    texts = stage("texts", lambda: extract_texts(pages, workspace))
-    chunks = stage("chunks", lambda: chunk_texts(texts, workspace))
-    mentions = stage("mentions", lambda: extract_mentions(chunks))
+    if fuse_narrow:
+        # one narrow stage pages→mentions (everything per-page local); skips
+        # the texts/chunks checkpoints — use when resume granularity at those
+        # boundaries isn't needed (e.g. throughput benches)
+        from aperag_spark.operators.extraction import extract_mentions_fused
+
+        mentions = stage(
+            "mentions", lambda: extract_mentions_fused(pages, workspace)
+        )
+    else:
+        texts = stage("texts", lambda: extract_texts(pages, workspace))
+        chunks = stage("chunks", lambda: chunk_texts(texts, workspace))
+        mentions = stage("mentions", lambda: extract_mentions(chunks))
     raw_entities, raw_relations = split_mentions(mentions)
     relations_full = merge_relations(raw_relations)
     entities = stage(

@@ -306,6 +306,68 @@ QUALIFY rank <= 20
 """
 
 
+TOKEN_BUDGET = 100
+
+
+def q_kg_token_budget(spark, sf_dir):
+    """Q6 token-budget truncation (utils.py:252-266): greedy prefix of each
+    doc's chunk list while the running token total stays within budget —
+    cumulative window sum + filter, the Spark form of the reference's loop."""
+    chunks = q_kg_chunking(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_order_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("cum_tokens", F.sum("tokens").over(w).cast("bigint"))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "chunk_order_index", "tokens", "cum_tokens")
+    )
+
+
+ORACLE_KG_TOKEN_BUDGET = f"""
+WITH chunks AS ({ORACLE_KG_CHUNKING})
+SELECT doc_id, chunk_order_index, tokens,
+       CAST(sum(tokens) OVER (PARTITION BY doc_id ORDER BY chunk_order_index
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM chunks
+QUALIFY cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+BFS_SEED = "spark"
+BFS_DEPTH = 2
+
+
+def q_kg_bfs(spark, sf_dir):
+    """G6 bounded BFS subgraph (base.py:525-538, pg impl
+    kg/pg_ops_sync_graph_storage.py:285-388): iterative broadcast joins,
+    one round per depth; oracle is a recursive CTE with min(depth)."""
+    from aperag_spark.operators.graph_query import bfs_subgraph
+
+    edges = q_kg_relations(spark, sf_dir).select(
+        F.col("src").alias("src_id"), F.col("tgt").alias("tgt_id")
+    )
+    out = bfs_subgraph(edges, BFS_SEED, max_depth=BFS_DEPTH, max_nodes=1_000_000)
+    return out.select(
+        F.col("entity_id").alias("entity"), F.col("depth").cast("int").alias("depth")
+    )
+
+
+ORACLE_KG_BFS = f"""
+WITH RECURSIVE edges AS ({ORACLE_KG_RELATIONS}),
+sym AS (SELECT src AS a, tgt AS b FROM edges UNION ALL SELECT tgt, src FROM edges),
+bfs AS (
+  SELECT '{BFS_SEED}' AS node, 0 AS depth
+  UNION ALL
+  SELECT s.b, bfs.depth + 1 FROM bfs JOIN sym s ON bfs.node = s.a
+  WHERE bfs.depth < {BFS_DEPTH}
+)
+SELECT node AS entity, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (training-data pipeline operators)
 # ---------------------------------------------------------------------------
@@ -628,6 +690,35 @@ FROM (SELECT query_id, label,
 """
 
 
+def q_sim_neardup(spark, sf_dir, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (the brute-force verify step of
+    an embedding dedup; at 100 TB the candidate set comes from an LSH/IVF
+    bucketing first — see sim_topk's broadcast pattern)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(_cosine(F.col("ea"), F.col("eb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+ORACLE_SIM_NEARDUP = """
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data quality operators)
 # ---------------------------------------------------------------------------
@@ -658,6 +749,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(length(text)::DOUBLE / len(w), 4) AS avg_token_len,
        round(len(list_filter(w, x -> x IN {_SQL_STOPWORDS}))::DOUBLE / len(w), 4) AS stopword_ratio
 FROM ws
+"""
+
+
+def q_lang_guess(spark, sf_dir, threshold: float = 0.04):
+    """n-gram/stopword language-ID heuristic: English stopword hit rate →
+    guess; reported against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    score = F.round(
+        F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / F.size(ws), 4
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        score.alias("en_score"),
+        F.when(score >= threshold, F.lit("en")).otherwise(F.lit("other")).alias("guess"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+ORACLE_LANG_GUESS = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         round(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN {_SQL_STOPWORDS}))::DOUBLE
+               / len(string_split_regex(text, '\\s+')), 4) AS en_score
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, en_score,
+       CASE WHEN en_score >= 0.04 THEN 'en' ELSE 'other' END AS guess,
+       lang AS labeled_lang
+FROM s
 """
 
 
@@ -836,13 +958,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_relations": q_kg_relations,
     "kg_node_degree": q_kg_node_degree,
     "kg_top_entities": q_kg_top_entities,
+    "kg_bfs": q_kg_bfs,
+    "kg_token_budget": q_kg_token_budget,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk": q_sim_topk,
     "sim_knn_label": q_sim_knn_label,
+    "sim_neardup": q_sim_neardup,
     "text_stats": q_text_stats,
+    "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
@@ -858,13 +984,17 @@ ORACLES: dict[str, str] = {
     "kg_relations": ORACLE_KG_RELATIONS,
     "kg_node_degree": ORACLE_KG_NODE_DEGREE,
     "kg_top_entities": ORACLE_KG_TOP_ENTITIES,
+    "kg_bfs": ORACLE_KG_BFS,
+    "kg_token_budget": ORACLE_KG_TOKEN_BUDGET,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_knn_label": ORACLE_SIM_KNN_LABEL,
+    "sim_neardup": ORACLE_SIM_NEARDUP,
     "text_stats": ORACLE_TEXT_STATS,
+    "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessions": ORACLE_EVENTS_SESSIONS,

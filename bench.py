@@ -48,7 +48,9 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="kg_bench_")
     pages = gen_pages_df(spark, N_PAGES, seed=42, partitions=max(CPUS, 16))
     t0 = time.time()
-    res = run_pipeline(spark, pages, out_dir, input_fingerprint=f"bench:{N_PAGES}")
+    res = run_pipeline(
+        spark, pages, out_dir, input_fingerprint=f"bench:{N_PAGES}", fuse_narrow=True
+    )
     n_triples = res["relations"].count()
     kg_sec = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -47,6 +47,7 @@ def run_reference_pipeline(
     summary_threshold: int = FORCE_LLM_SUMMARY_ON_MERGE,
     chunk_token_size: int = 1200,
     overlap_token_size: int = 100,
+    existing: dict | None = None,
 ) -> dict:
     """pages rows → {'chunks': [...], 'entities': {name: {...}},
     'relations': {(src,tgt): {...}}} with reference merge semantics."""
@@ -110,15 +111,27 @@ def run_reference_pipeline(
             rec_idx += 1
 
     # --- entity merge (_merge_nodes_then_upsert, operate.py:233-356) ---
+    # incremental: fold the existing node in — type as ONE vote appended
+    # after new (operate.py:279-301), rendered description as ONE fragment
+    # (:291-304), source_ids/file_paths split on <SEP> (:285-289)
+    old_entities = (existing or {}).get("entities", {})
+    old_relations = (existing or {}).get("relations", {})
     entities: dict[str, dict] = {}
     for name, nodes_data in all_nodes.items():
         nodes_data = sorted(nodes_data, key=lambda d: d["occ"])
+        already = old_entities.get(name)
+        already_types = [already["entity_type"]] if already else []
+        already_descs = [already["description"]] if already else []
+        already_sources = set(already["source_ids"]) if already else set()
+        already_files = set(already["file_paths"]) if already else set()
         entity_type = sorted(
-            Counter(dp["entity_type"] for dp in nodes_data).items(),
+            Counter(
+                [dp["entity_type"] for dp in nodes_data] + already_types
+            ).items(),
             key=lambda x: x[1],
             reverse=True,
         )[0][0]  # stable sort → first-seen wins ties (operate.py:296-301)
-        frags = sorted(set(dp["description"] for dp in nodes_data))
+        frags = sorted(set([dp["description"] for dp in nodes_data] + already_descs))
         description = GRAPH_FIELD_SEP.join(frags)
         num_fragment = description.count(GRAPH_FIELD_SEP) + 1
         if num_fragment > 1 and num_fragment >= summary_threshold:
@@ -128,9 +141,13 @@ def run_reference_pipeline(
             "entity_type": entity_type,
             "description": description,
             "description_frags": frags,
-            "source_ids": set(dp["source_id"] for dp in nodes_data),
-            "file_paths": set(dp["file_path"] for dp in nodes_data),
+            "source_ids": set(dp["source_id"] for dp in nodes_data) | already_sources,
+            "file_paths": set(dp["file_path"] for dp in nodes_data) | already_files,
         }
+    # untouched existing entities persist as-is (no upsert happens for them)
+    for name, e in old_entities.items():
+        if name not in entities:
+            entities[name] = dict(e)
 
     # --- edge merge (_merge_edges_then_upsert, operate.py:359-488) ---
     # Iterate edges by first-appearance order so the stub-node first-writer
@@ -140,18 +157,39 @@ def run_reference_pipeline(
     for (src, tgt), edges_data in edge_order:
         if src == tgt:
             continue  # operate.py:366-367
-        weight = sum(dp["weight"] for dp in edges_data)
-        frags = sorted(set(dp["description"] for dp in edges_data if dp.get("description")))
+        # incremental fold (operate.py:372-404): weight into the SUM,
+        # rendered description as one fragment, keywords split on ','
+        already = old_relations.get((src, tgt))
+        already_weights = [already["weight"]] if already else []
+        already_descs = [already["description"]] if already else []
+        already_kws = [already["keywords"]] if already else []
+        already_sources = set(already["source_ids"]) if already else set()
+        already_files = set(already["file_paths"]) if already else set()
+        weight = sum([dp["weight"] for dp in edges_data] + already_weights)
+        frags = sorted(
+            set(
+                [dp["description"] for dp in edges_data if dp.get("description")]
+                + already_descs
+            )
+        )
         description = GRAPH_FIELD_SEP.join(frags)
         all_keywords: set[str] = set()
+        for kw_str in already_kws:
+            all_keywords.update(k.strip() for k in kw_str.split(",") if k.strip())
         for dp in edges_data:
             if dp.get("keywords"):
                 all_keywords.update(
                     k.strip() for k in dp["keywords"].split(",") if k.strip()
                 )
         keywords = ",".join(sorted(all_keywords))
-        source_ids = set(dp["source_id"] for dp in edges_data if dp.get("source_id"))
-        file_paths = set(dp["file_path"] for dp in edges_data if dp.get("file_path"))
+        source_ids = (
+            set(dp["source_id"] for dp in edges_data if dp.get("source_id"))
+            | already_sources
+        )
+        file_paths = (
+            set(dp["file_path"] for dp in edges_data if dp.get("file_path"))
+            | already_files
+        )
         # M10 stub nodes, pre-summary description
         for need in (src, tgt):
             if need not in entities:
@@ -175,6 +213,10 @@ def run_reference_pipeline(
             "source_ids": source_ids,
             "file_paths": file_paths,
         }
+    # untouched existing relations persist as-is
+    for key, r in old_relations.items():
+        if key not in relations:
+            relations[key] = dict(r)
 
     return {"chunks": chunks, "entities": entities, "relations": relations}
 

@@ -1,0 +1,85 @@
+"""Query-side context assembly (Q3-Q8) property tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from aperag_spark.operators.chunking import chunk_texts, extract_texts
+from aperag_spark.operators.context import (
+    build_global_context,
+    build_local_context,
+    combine_contexts,
+    truncate_by_token_budget,
+)
+from aperag_spark.operators.extraction import extract_mentions, split_mentions
+from aperag_spark.operators.merge import (
+    merge_entities,
+    merge_relations,
+    stub_missing_endpoints,
+)
+from aperag_spark.operators.vectors import entity_vdb, relation_vdb
+from aperag_spark.synth import PAGES_SCHEMA, gen_pages_local
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages = spark.createDataFrame(gen_pages_local(40, seed=42), schema=PAGES_SCHEMA)
+    chunks = chunk_texts(extract_texts(pages)).localCheckpoint()
+    raw_e, raw_r = split_mentions(extract_mentions(chunks))
+    relations = merge_relations(raw_r).localCheckpoint()
+    entities = stub_missing_endpoints(merge_entities(raw_e), relations).localCheckpoint()
+    evdb = entity_vdb(entities).localCheckpoint()
+    rvdb = relation_vdb(relations).localCheckpoint()
+    return entities, relations, chunks, evdb, rvdb
+
+
+def test_local_context(spark, graph):
+    entities, relations, chunks, evdb, rvdb = graph
+    target = evdb.orderBy("entity_name").first()
+    ctx = build_local_context(
+        target["content"], entities, relations, chunks, evdb, top_k=10, token_budget=3000
+    )
+    ents = ctx["entities"].collect()
+    assert ents and any(e["entity_id"] == target["entity_name"] for e in ents)
+    # rank = node degree (operate.py:1295-1310)
+    edges = ctx["relations"].collect()
+    if edges:
+        orders = [e["order"] for e in edges]
+        assert sorted(orders) == list(range(1, len(orders) + 1))
+        ranked = sorted(edges, key=lambda e: e["order"])
+        for a, b in zip(ranked, ranked[1:]):
+            assert (a["rank"], a["weight"]) >= (b["rank"], b["weight"])
+    chs = ctx["chunks"].collect()
+    assert sum(c["tokens"] for c in chs) <= 3000
+    assert len(set(c["chunk_id"] for c in chs)) == len(chs)  # deduped
+
+
+def test_global_context(spark, graph):
+    entities, relations, chunks, evdb, rvdb = graph
+    target = rvdb.orderBy("id").first()
+    ctx = build_global_context(
+        target["content"], entities, relations, chunks, rvdb, top_k=10, token_budget=2000
+    )
+    edges = ctx["relations"].collect()
+    assert edges and any(
+        (e["src_id"], e["tgt_id"]) == (target["src_id"], target["tgt_id"]) for e in edges
+    )
+    ents = {e["entity_id"] for e in ctx["entities"].collect()}
+    assert target["src_id"] in ents and target["tgt_id"] in ents
+    assert sum(c["tokens"] for c in ctx["chunks"].collect()) <= 2000
+
+
+def test_truncate_budget_boundary(spark):
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(10)], "pos int, tokens int"
+    )
+    out = truncate_by_token_budget(df, [F.asc("pos")], "tokens", 35).collect()
+    # greedy prefix: 10+10+10 = 30 ≤ 35; adding the 4th (40) exceeds
+    assert [r["pos"] for r in out] == [0, 1, 2]
+
+
+def test_combine_contexts_dedupes_and_reids(spark):
+    a = spark.createDataFrame([("1", "x"), ("2", "y")], "id string, text string")
+    b = spark.createDataFrame([("9", "y"), ("4", "z")], "id string, text string")
+    out = combine_contexts(a, b).collect()
+    assert sorted(r["text"] for r in out) == ["x", "y", "z"]  # 'y' deduped
+    assert sorted(r["id"] for r in out) == ["1", "2", "3"]  # re-assigned
