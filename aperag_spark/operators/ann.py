@@ -1,0 +1,113 @@
+"""Approximate nearest neighbor over an embedding column — the scale path
+for similarity search (the brute-force baseline is queries.q_sim_topk).
+
+Random-hyperplane LSH (Charikar, STOC'02): each of `n_tables` hash tables
+assigns a vector the sign-bit pattern of its dot products with `n_bits`
+seeded Gaussian hyperplanes. Vectors sharing a (table, bucket) are candidate
+neighbors; candidates are scored exactly and top-k'd. Collision probability
+per bit is 1 - θ/π, so recall is tuned by (n_bits, n_tables): fewer bits →
+bigger buckets → higher recall & cost.
+
+Scale shape: bucketize is a narrow pandas-UDF pass (numpy GEMM against the
+small broadcast plane matrix); the candidate join shuffles on the compact
+(table, bucket) key — never all-pairs. At 100 TB the bucket tables are the
+materialized "index" (partitioned by (table, bucket)) and queries probe only
+their own buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+DEFAULT_TABLES = 16
+DEFAULT_BITS = 4
+
+
+def _planes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_bucketize(
+    emb: DataFrame,
+    dim: int = 64,
+    n_tables: int = DEFAULT_TABLES,
+    n_bits: int = DEFAULT_BITS,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, table, bucket): one row per (vector, table)."""
+    planes = _planes(dim, n_tables, n_bits, seed)
+    weights = 1 << np.arange(n_bits)
+
+    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ids = np.asarray(pdf[id_col], dtype=np.int64)
+            out_ids, out_tables, out_buckets = [], [], []
+            for t in range(n_tables):
+                bits = (mat @ planes[t].T) > 0  # (n, n_bits)
+                buckets = bits @ weights
+                out_ids.append(ids)
+                out_tables.append(np.full(len(ids), t, dtype=np.int32))
+                out_buckets.append(buckets.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "table": np.concatenate(out_tables),
+                    "bucket": np.concatenate(out_buckets),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _bucket, "vec_id bigint, table int, bucket bigint"
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = DEFAULT_TABLES,
+    n_bits: int = DEFAULT_BITS,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k for the given query vector ids: bucket join →
+    distinct candidates → exact cosine → window top-k per query."""
+    buckets = lsh_bucketize(emb, dim, n_tables, n_bits, seed)
+    qb = buckets.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    candidates = (
+        buckets.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    from aperag_spark.queries import _cosine
+
+    scored = (
+        candidates.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -88,9 +88,12 @@ def bfs_subgraph(
     applied at the end like the reference's truncation flag
     (kg/pg_ops_sync_graph_storage.py:285-388)."""
     spark = relations.sparkSession
-    sym = relations.select(
-        F.col("src_id").alias("a"), F.col("tgt_id").alias("b")
-    ).union(relations.select(F.col("tgt_id").alias("a"), F.col("src_id").alias("b")))
+    sym = (
+        relations.select(F.col("src_id").alias("a"), F.col("tgt_id").alias("b"))
+        .union(relations.select(F.col("tgt_id").alias("a"), F.col("src_id").alias("b")))
+        .localCheckpoint()  # joined once per depth — don't recompute the
+        # upstream aggregation every round
+    )
 
     frontier = spark.createDataFrame([(seed, 0)], "entity_id string, depth int")
     visited = frontier

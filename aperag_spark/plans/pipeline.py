@@ -55,12 +55,14 @@ def _write_stage(
     """Write stage output + lineage manifest; return re-read DataFrame so
     downstream stages consume the materialized (checkpointed) table, cutting
     lineage exactly at stage boundaries."""
+    from aperag_spark.sources.io import read_table, write_table
+
     spark = df.sparkSession
     path = os.path.join(out_dir, stage)
     t0 = time.time()
     with_pid = df.withColumn("_pid", F.spark_partition_id())
-    with_pid.write.mode("overwrite").parquet(path)
-    written = spark.read.parquet(path)
+    write_table(with_pid, path)
+    written = read_table(spark, path)
     per_partition = {
         str(r["_pid"]): r["cnt"]
         for r in written.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -95,7 +97,9 @@ def _stage_is_complete(out_dir: str, stage: str, input_fingerprint: str) -> bool
 
 
 def _read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, stage)).drop("_pid")
+    from aperag_spark.sources.io import read_table
+
+    return read_table(spark, os.path.join(out_dir, stage)).drop("_pid")
 
 
 STAGES = [
