@@ -36,18 +36,28 @@ MENTIONS_SCHEMA = (
 )
 
 
-def extract_mentions(chunks: DataFrame, extractor=deterministic_extract) -> DataFrame:
+def extract_mentions(
+    chunks: DataFrame,
+    extractor=deterministic_extract,
+    max_gleaning: int = 0,
+) -> DataFrame:
     """chunks → union of raw entity/relation mention rows (kind column
-    discriminates; explode happens here, not in a second pass)."""
+    discriminates; explode happens here, not in a second pass).
+
+    max_gleaning > 0 runs the reference's gleaning loop inside the same UDF
+    (operate.py:746-767; production config is 0, lightrag_manager.py:45)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aperag_spark.textproc import extract_with_gleaning
+
         for pdf in batches:
             rows: list[dict] = []
             for chunk_id, content, file_path, chunk_idx in zip(
                 pdf["chunk_id"], pdf["content"], pdf["file_path"], pdf["chunk_order_index"]
             ):
-                result = extractor(content)
-                entities, relations = parse_extraction_result(result)
+                entities, relations = extract_with_gleaning(
+                    content, max_gleaning=max_gleaning, extractor=extractor
+                )
                 rec_idx = 0
                 for e in entities:
                     rows.append(

@@ -41,7 +41,35 @@ N_MINHASH = 8
 MIN_WORD_LEN = 4
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship aperag_spark to executor Python workers via addPyFile — robust
+    even when the caller (e.g. the round driver) built its own SparkSession
+    without PYTHONPATH/--py-files. addPyFile works post-start; zipping is
+    cached per process, registration per session."""
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    zpath = os.path.join("/tmp", f"aperag_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, repo))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_package_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -851,6 +879,9 @@ def _dsum(col):
 
 
 def q_events_hourly(spark, sf_dir):
+    # DuckDB renders the naive parquet timestamps as-is; pin Spark to UTC so
+    # date_format agrees regardless of the calling session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -875,6 +906,7 @@ FROM events GROUP BY 1, 2
 def q_events_sessions(spark, sf_dir, gap_minutes: int = 30):
     """Sessionization: gap > 30 min starts a new session (lag window +
     running sum) — the canonical stateful-window pattern."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see q_events_hourly
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = events.withColumn(

@@ -374,6 +374,75 @@ def parse_extraction_result(result: str) -> tuple[list[dict], list[dict]]:
     return entities, relations
 
 
+def deterministic_glean(chunk_text: str, round_idx: int) -> str:
+    """Deterministic stand-in for the gleaning LLM call (continue_prompt,
+    operate.py:746-767). Emits one genuinely-new entity and one repeat of a
+    round-0 pattern with a different description — the latter exercises the
+    reference's new-names-only acceptance rule (it must be DROPPED)."""
+    h = md5_hex(f"{chunk_text}:glean:{round_idx}")[:8]
+    records = [
+        f'("entity"{_D}"Gleaned Body {h}"{_D}"category"{_D}"found on re-read")'
+    ]
+    # repeat an existing entity name (if any) with a conflicting description
+    m = _ENTITY_SENT_RE.search(chunk_text)
+    if m:
+        records.append(
+            f'("entity"{_D}"{m.group(1)}"{_D}"event"{_D}"gleaning duplicate must be rejected")'
+        )
+    rel = _REL_SENT_RE.search(chunk_text)
+    if rel:
+        # repeated edge key (same direction) — rejected by the edge rule
+        records.append(
+            f'("relationship"{_D}"{rel.group(1)}"{_D}"{rel.group(2)}"{_D}"glean dup"{_D}"dup"{_D}9)'
+        )
+    return _R.join(records) + COMPLETION_DELIMITER
+
+
+def glean_continue(chunk_text: str, round_idx: int) -> bool:
+    """Deterministic stand-in for entity_if_loop_extraction
+    (operate.py:762-766): continue only when the answer is exactly 'yes'."""
+    return int(md5_hex(f"{chunk_text}:ifloop:{round_idx}")[:2], 16) % 2 == 0
+
+
+def extract_with_gleaning(
+    chunk_text: str,
+    max_gleaning: int = 0,
+    extractor=None,
+    gleaner=deterministic_glean,
+) -> tuple[list[dict], list[dict]]:
+    """Initial extraction + gleaning rounds with the reference's acceptance
+    rules (operate.py:746-767): gleaned entities accepted only under NEW
+    names; gleaned edges only under new (src, tgt) keys — keys UNSORTED at
+    this stage (canonical sorting happens at merge, operate.py:553-555)."""
+    extractor = extractor or deterministic_extract
+    entities, relations = parse_extraction_result(extractor(chunk_text))
+    seen_names = {e["entity_name"] for e in entities}
+    seen_keys = {(r["src_id"], r["tgt_id"]) for r in relations}
+    for g in range(max_gleaning):
+        g_ents, g_rels = parse_extraction_result(gleaner(chunk_text, g))
+        # acceptance is per NAME/KEY group: every gleaned record of a new
+        # name/key extends (operate.py:754-759 extend semantics)
+        ent_groups: dict[str, list[dict]] = {}
+        for e in g_ents:
+            ent_groups.setdefault(e["entity_name"], []).append(e)
+        for name, group in ent_groups.items():
+            if name not in seen_names:
+                entities.extend(group)
+                seen_names.add(name)
+        rel_groups: dict[tuple, list[dict]] = {}
+        for r in g_rels:
+            rel_groups.setdefault((r["src_id"], r["tgt_id"]), []).append(r)
+        for key, group in rel_groups.items():
+            if key not in seen_keys:
+                relations.extend(group)
+                seen_keys.add(key)
+        if g == max_gleaning - 1:
+            break
+        if not glean_continue(chunk_text, g):
+            break
+    return entities, relations
+
+
 def stub_summarize(joined_description: str) -> str:
     """Deterministic stand-in for the reference's LLM merge-summary
     (operate.py:118-149, triggered at >= FORCE_LLM_SUMMARY_ON_MERGE

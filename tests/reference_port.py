@@ -48,6 +48,7 @@ def run_reference_pipeline(
     chunk_token_size: int = 1200,
     overlap_token_size: int = 100,
     existing: dict | None = None,
+    max_gleaning: int = 0,
 ) -> dict:
     """pages rows → {'chunks': [...], 'entities': {name: {...}},
     'relations': {(src,tgt): {...}}} with reference merge semantics."""
@@ -84,8 +85,10 @@ def run_reference_pipeline(
     all_nodes: dict[str, list[dict]] = defaultdict(list)
     all_edges: dict[tuple[str, str], list[dict]] = defaultdict(list)
     for ch in chunks:
-        entities, relations = parse_extraction_result(
-            deterministic_extract(ch["content"])
+        from aperag_spark.textproc import extract_with_gleaning
+
+        entities, relations = extract_with_gleaning(
+            ch["content"], max_gleaning=max_gleaning
         )
         rec_idx = 0
         for e in entities:
