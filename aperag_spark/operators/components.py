@@ -26,12 +26,12 @@ def connected_components(
     """edges(src,dst) → (node, component) where component = min node id in
     the component (string min). Undirected; isolated nodes absent from
     `edges` are absent from the result."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    undirected = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
     )
+    sym = undirected.union(
+        undirected.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     # labels: node → current min label over closed neighborhood
     labels = (
         sym.groupBy("a")
@@ -43,18 +43,30 @@ def connected_components(
     ).localCheckpoint()
 
     for _ in range(max_iter):
-        # propagate: every node takes min(label(self), min over neighbors' labels)
+        # hash-min: every node takes min(label(self), min over neighbors')
         nbr_labels = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(nbr_labels, labels.node == nbr_labels.a, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_component", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component ids are node ids, so chase one level
+        # (label[label[v]]) — contracts label chains geometrically, giving
+        # O(log diameter) rounds instead of O(diameter) for path-like graphs
+        parents = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        )
         new_labels = (
-            labels.join(nbr_labels, labels.node == nbr_labels.a, "left")
+            stepped.join(parents, "component", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"), F.coalesce("grand", F.col("component"))
                 ).alias("component"),
             )
         ).localCheckpoint()
