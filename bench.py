@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = SF_DIR.rstrip("/").split("sf")[-1]
 # pages for the KG pipeline bench, scaled by sf
-N_PAGES = {"0.001": 100, "0.01": 400, "0.1": 1500}.get(SF, 1500)
+N_PAGES = {"0.001": 100, "0.01": 1000, "0.1": 20000}.get(SF, 20000)
 
 
 def main() -> None:
