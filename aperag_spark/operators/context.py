@@ -140,6 +140,71 @@ def build_local_context(
     return {"entities": seeds, "relations": edges, "chunks": chs}
 
 
+_QUERY_STOP = {
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+    "what", "which", "who", "how", "about", "with",
+}
+
+
+def extract_query_keywords(query_text: str, k: int = 8) -> list[str]:
+    """Q1 stand-in: the reference asks an LLM for high/low-level keywords
+    (operate.py:1002-1057); deterministically we take the top-k non-stopword
+    tokens by frequency (ties lexicographic) — same downstream contract:
+    a keyword list that seeds the vector lookups."""
+    from collections import Counter
+
+    words = [w.lower().strip(".,;!?\"'") for w in query_text.split()]
+    words = [w for w in words if w and w not in _QUERY_STOP]
+    counts = Counter(words)
+    return [w for w, _ in sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]]
+
+
+def kg_query_context(
+    query_text: str,
+    mode: str,
+    entities: DataFrame,
+    relations: DataFrame,
+    chunks: DataFrame,
+    entity_vdb_df: DataFrame,
+    relation_vdb_df: DataFrame,
+    top_k: int = 60,
+    token_budget: int = 4000,
+) -> dict[str, DataFrame]:
+    """Q2 mode routing (base.py:66-73, operate.py:841-856, kg_query
+    operate.py:875-974): local / global / hybrid context assembly seeded by
+    the extracted keywords."""
+    kw_text = ", ".join(extract_query_keywords(query_text))
+    if mode == "local":
+        return build_local_context(
+            kw_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
+        )
+    if mode == "global":
+        return build_global_context(
+            kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
+        )
+    if mode == "hybrid":
+        lo = build_local_context(
+            kw_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
+        )
+        gl = build_global_context(
+            kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
+        )
+        # hybrid combine (operate.py:1169-1231): dedupe on non-id fields
+        ents = combine_contexts(
+            lo["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
+            gl["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
+        )
+        chs = combine_contexts(
+            lo["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
+            gl["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
+        )
+        rels = lo["relations"].select("src_id", "tgt_id", "weight").unionByName(
+            gl["relations"].select("src_id", "tgt_id", "weight")
+        ).dropDuplicates(["src_id", "tgt_id"])
+        return {"entities": ents, "relations": rels, "chunks": chs}
+    raise ValueError(f"unknown mode: {mode}")
+
+
 def build_global_context(
     query_text: str,
     entities: DataFrame,

@@ -170,9 +170,17 @@ def canonicalize(
     entities: DataFrame, relations: DataFrame, alias_map: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Rewrite every entity id and edge endpoint through alias_map, then
-    re-aggregate with the reference merge semantics (amerge_entities:
-    descriptions join_unique utils_graph.py:790-817; duplicate re-pointed
-    edges merged, weights summed; self-loops skipped utils_graph.py:661-683).
+    re-aggregate — the semantic model is the reference's manual merge API
+    amerge_entities (utils_graph.py:548-766): re-pointed duplicate edges
+    merge with weights SUMMED and self-loops skipped (:661-683), multi-value
+    fields join_unique (:803-809).
+
+    Deliberate divergences from its *defaults*, because order-dependent
+    rules have no meaning under distributed input: description uses
+    join_unique (sorted-set <SEP> join) instead of "concatenate" ('\\n\\n'
+    in caller order, :797-798), and entity_type uses
+    max-mention-count-with-tiebreak instead of "keep_first" (:800-801) —
+    both deterministic refinements, compared set-wise at parity boundaries.
 
     alias_map is broadcast — it is orders of magnitude smaller than the
     mention tables at web scale.

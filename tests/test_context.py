@@ -68,6 +68,24 @@ def test_global_context(spark, graph):
     assert sum(c["tokens"] for c in ctx["chunks"].collect()) <= 2000
 
 
+def test_kg_query_modes(spark, graph):
+    from aperag_spark.operators.context import extract_query_keywords, kg_query_context
+
+    entities, relations, chunks, evdb, rvdb = graph
+    q = "What is Acme0 Corp known for in cloud energy partnership?"
+    assert extract_query_keywords(q)[0] in {"acme0", "cloud", "corp", "energy", "known", "partnership"}
+    for mode in ["local", "global", "hybrid"]:
+        ctx = kg_query_context(q, mode, entities, relations, chunks, evdb, rvdb, top_k=10, token_budget=2000)
+        assert set(ctx) == {"entities", "relations", "chunks"}
+        assert ctx["entities"].count() > 0
+    with pytest.raises(ValueError):
+        kg_query_context(q, "bogus", entities, relations, chunks, evdb, rvdb)
+    # hybrid ids reassigned sequentially (Q7, utils.py:293-296)
+    hy = kg_query_context(q, "hybrid", entities, relations, chunks, evdb, rvdb, top_k=10)
+    ids = sorted(int(r["id"]) for r in hy["entities"].select("id").collect())
+    assert ids == list(range(1, len(ids) + 1))
+
+
 def test_truncate_budget_boundary(spark):
     df = spark.createDataFrame(
         [(i, 10) for i in range(10)], "pos int, tokens int"
