@@ -62,6 +62,14 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         q_secs[name] = round(time.time() - t0, 3)
 
+    # --- part 3: live triple-parity gate (P/R vs the reference-semantics
+    # port, BASELINE.json metric) on a small corpus ---
+    parity = _triple_parity(spark)
+
+    # --- part 4: scaling summary from the latest scripts/scaling_bench.py
+    # sweep (BENCH.md), if present ---
+    scaling = _scaling_summary()
+
     total = round(kg_sec + sum(q_secs.values()), 3)
     print(
         json.dumps(
@@ -77,11 +85,60 @@ def main() -> None:
                     "sec": round(kg_sec, 3),
                     "triples_per_sec": round(n_triples / kg_sec, 2),
                 },
+                "triple_parity": parity,
+                "scaling": scaling,
                 "cpus": CPUS,
             }
         )
     )
     spark.stop()
+
+
+def _triple_parity(spark, n_pages: int = 40) -> dict:
+    """P/R of the Spark pipeline's (subj, pred, obj) triples vs the
+    independent reference-semantics port, on a seeded corpus."""
+    from aperag_spark.operators.extraction import extract_mentions_fused, split_mentions
+    from aperag_spark.operators.merge import merge_relations
+    from aperag_spark.synth import PAGES_SCHEMA, gen_pages_local
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.reference_port import golden_triples, run_reference_pipeline
+
+    rows = gen_pages_local(n_pages, seed=42)
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    rels = merge_relations(split_mentions(extract_mentions_fused(pages))[1])
+    ours = {
+        (r["src_id"], r["keywords"], r["tgt_id"])
+        for r in rels.select("src_id", "keywords", "tgt_id").collect()
+    }
+    gold = golden_triples(run_reference_pipeline(rows))
+    tp = len(ours & gold)
+    return {
+        "pages": n_pages,
+        "triples_spark": len(ours),
+        "triples_reference": len(gold),
+        "precision": round(tp / len(ours), 4) if ours else 0.0,
+        "recall": round(tp / len(gold), 4) if gold else 0.0,
+    }
+
+
+def _scaling_summary() -> dict | None:
+    bench_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    try:
+        with open(bench_md) as f:
+            for line in f:
+                if line.startswith("Raw JSON: `"):
+                    d = json.loads(line[len("Raw JSON: `") :].rstrip().rstrip("`"))
+                    return {
+                        "primary_pair": d.get("primary_pair"),
+                        "speedup_primary": d.get("speedup_primary"),
+                        "efficiency_primary": d.get("efficiency_primary"),
+                        "hardware_ceiling": d.get("hardware_ceiling_efficiency"),
+                        "see": "BENCH.md",
+                    }
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
 
 
 if __name__ == "__main__":
