@@ -53,6 +53,35 @@ def delete_documents(
     return entities, relations
 
 
+def rename_entity(
+    entities: DataFrame, relations: DataFrame, old_name: str, new_name: str
+) -> tuple[DataFrame, DataFrame]:
+    """M14 aedit_entity rename (utils_graph.py:150-252): rename a node and
+    rewire every edge endpoint; if the new name already exists the two nodes
+    merge (the reference refuses in that case unless allow_merge — we merge,
+    which is amerge_entities semantics). One-pair alias map through the same
+    canonicalize machinery as automated linking."""
+    spark = entities.sparkSession
+    alias_map = spark.createDataFrame(
+        [(old_name, new_name)], "entity_id string, canonical_id string"
+    )
+    from aperag_spark.operators.linking import canonicalize
+
+    return canonicalize(entities, relations, alias_map)
+
+
+def delete_entity(
+    entities: DataFrame, relations: DataFrame, name: str
+) -> tuple[DataFrame, DataFrame]:
+    """M14 adelete_by_entity (utils_graph.py:255-305): drop the node and
+    every edge touching it."""
+    ents = entities.where(F.col("entity_id") != name)
+    rels = relations.where(
+        (F.col("src_id") != name) & (F.col("tgt_id") != name)
+    )
+    return ents, rels
+
+
 def merge_entities_salted(
     raw_entities: DataFrame,
     salt: int = 16,

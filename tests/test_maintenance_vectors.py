@@ -74,6 +74,34 @@ def test_salted_merge_identical_output(spark, mentions):
     )
 
 
+def test_rename_and_delete_entity(spark, mentions):
+    from aperag_spark.operators.maintenance import delete_entity, rename_entity
+
+    raw_e, raw_r = split_mentions(mentions)
+    rels = merge_relations(raw_r)
+    ents = stub_missing_endpoints(merge_entities(raw_e), rels)
+    some = sorted(r["entity_id"] for r in ents.select("entity_id").collect() if r["entity_id"])
+    victim = some[0]
+
+    # rename → old gone, edges rewired to the new name
+    ents2, rels2 = rename_entity(ents, rels, victim, "Renamed Entity X")
+    names = {r["entity_id"] for r in ents2.select("entity_id").collect()}
+    assert victim not in names and "Renamed Entity X" in names
+    endpoints = {
+        x
+        for r in rels2.select("src_id", "tgt_id").collect()
+        for x in (r["src_id"], r["tgt_id"])
+    }
+    assert victim not in endpoints
+
+    # delete → node and its edges gone, nothing else
+    before_edges = rels.count()
+    touching = rels.where((rels.src_id == victim) | (rels.tgt_id == victim)).count()
+    ents3, rels3 = delete_entity(ents, rels, victim)
+    assert ents3.where(ents3.entity_id == victim).count() == 0
+    assert rels3.count() == before_edges - touching
+
+
 def test_vdb_rows_and_search(spark, mentions):
     raw_e, raw_r = split_mentions(mentions)
     rels = merge_relations(raw_r)
