@@ -66,12 +66,22 @@ def is_float_regex(value: str) -> bool:
     return bool(_FLOAT_RE.match(value))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _marker_pattern(markers: tuple[str, ...]):
+    return re.compile("|".join(re.escape(marker) for marker in markers))
+
+
 def split_string_by_multi_markers(content: str, markers: list[str]) -> list[str]:
-    """Split on any marker, strip pieces, drop empties. Reference: utils.py:225-232."""
+    """Split on any marker, strip pieces, drop empties. Reference:
+    utils.py:225-232 (pattern compilation cached — this runs per record in
+    the extraction UDF)."""
     if not markers:
         return [content]
     content = content if content is not None else ""
-    results = re.split("|".join(re.escape(marker) for marker in markers), content)
+    results = _marker_pattern(tuple(markers)).split(content)
     return [r.strip() for r in results if r.strip()]
 
 
@@ -85,7 +95,18 @@ _QUOTE_AFTER_ZH_RE = re.compile(rf"(?<=[{_ZH}])['\"]+")
 
 def normalize_extracted_info(name: str, is_entity: bool = False) -> str:
     """8-rule CJK/EN name normalization. Reference: utils.py:417-464 (verbatim
-    rule order: parens, dashes, CJK spacing, edge quotes, CJK quotes)."""
+    rule order: parens, dashes, CJK spacing, edge quotes, CJK quotes).
+
+    ASCII fast path: every rule except edge-quote stripping only fires on
+    non-ASCII characters (CJK ranges, fullwidth punctuation, curly quotes),
+    so for ASCII input the result is provably identical — and this function
+    dominates the extraction UDF's profile (~30%) on web-scale English."""
+    if name.isascii():
+        if len(name) >= 2 and name[0] == '"' and name[-1] == '"':
+            name = name[1:-1]
+        if len(name) >= 2 and name[0] == "'" and name[-1] == "'":
+            name = name[1:-1]
+        return name
     name = name.replace("（", "(").replace("）", ")")
     name = name.replace("—", "-").replace("－", "-")
     name = _ZH_SPACE_RE.sub("", name)
