@@ -140,6 +140,28 @@ def build_local_context(
     return {"entities": seeds, "relations": edges, "chunks": chs}
 
 
+def build_naive_context(
+    query_text: str,
+    chunks: DataFrame,
+    chunk_vdb_df: DataFrame,
+    top_k: int = 10,
+    token_budget: int = 4000,
+) -> DataFrame:
+    """Q9 naive mode (operate.py:1060-1134, 1769-1836): pure vector top-k
+    over chunks + token-budget truncation — no graph involvement."""
+    from aperag_spark.operators.vectors import topk_search
+
+    hits = topk_search(chunk_vdb_df, query_text, k=top_k).select(
+        F.col("id").alias("chunk_id"), "rank", "score"
+    )
+    joined = hits.join(chunks, "chunk_id").select(
+        "chunk_id", "rank", "score", "content", "tokens"
+    )
+    return truncate_by_token_budget(
+        joined, [F.asc("rank")], "tokens", token_budget
+    )
+
+
 _QUERY_STOP = {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
     "what", "which", "who", "how", "about", "with",

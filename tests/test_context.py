@@ -86,6 +86,24 @@ def test_kg_query_modes(spark, graph):
     assert ids == list(range(1, len(ids) + 1))
 
 
+def test_naive_context(spark, graph):
+    import pyspark.sql.functions as F2
+
+    from aperag_spark.operators.context import build_naive_context
+    from aperag_spark.operators.vectors import embed_column
+
+    entities, relations, chunks, evdb, rvdb = graph
+    # chunk vdb: id = chunk_id, content = chunk content (V5/Q9 shape)
+    cvdb = embed_column(
+        chunks.select(F2.col("chunk_id").alias("id"), "content"), "content"
+    ).localCheckpoint()
+    target = cvdb.orderBy("id").first()
+    out = build_naive_context(target["content"], chunks, cvdb, top_k=5, token_budget=5000).collect()
+    assert out and out[0]["chunk_id"] == target["id"]  # self-match at rank 1
+    assert sum(r["tokens"] for r in out) <= 5000
+    assert [r["rank"] for r in out] == sorted(r["rank"] for r in out)
+
+
 def test_truncate_budget_boundary(spark):
     df = spark.createDataFrame(
         [(i, 10) for i in range(10)], "pos int, tokens int"
