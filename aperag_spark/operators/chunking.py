@@ -83,6 +83,11 @@ def chunk_texts(
         for pdf in batches:
             rows: list[dict] = []
             for url, doc_id, text in zip(pdf["url"], pdf["doc_id"], pdf["text"]):
+                # Per-document dict keyed by chunk_id: the reference stores
+                # chunks in a dict (lightrag.py:652-657), so a document whose
+                # token windows repeat (periodic text) collapses duplicate
+                # chunk_ids with LAST-writer values, first-insertion order.
+                seen_ids: dict[str, dict] = {}
                 for ch in chunking_by_token_size(
                     tokenizer,
                     text,
@@ -91,18 +96,18 @@ def chunk_texts(
                 ):
                     if not ch["content"]:
                         continue  # empty chunks skipped — lightrag.py:649-651
-                    rows.append(
-                        {
-                            "chunk_id": compute_mdhash_id(
-                                ch["content"], prefix="chunk-", workspace=workspace
-                            ),
-                            "full_doc_id": doc_id,
-                            "chunk_order_index": ch["chunk_order_index"],
-                            "tokens": ch["tokens"],
-                            "content": ch["content"],
-                            "file_path": url,
-                        }
+                    cid = compute_mdhash_id(
+                        ch["content"], prefix="chunk-", workspace=workspace
                     )
+                    seen_ids[cid] = {
+                        "chunk_id": cid,
+                        "full_doc_id": doc_id,
+                        "chunk_order_index": ch["chunk_order_index"],
+                        "tokens": ch["tokens"],
+                        "content": ch["content"],
+                        "file_path": url,
+                    }
+                rows.extend(seen_ids.values())
             yield pd.DataFrame(
                 rows,
                 columns=[

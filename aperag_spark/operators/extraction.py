@@ -132,6 +132,12 @@ def extract_mentions_fused(
             rows: list[dict] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 text = clean_text(extract_text_from_html(bytes(html)))
+                # Dict-collapse duplicate chunk_ids per document before
+                # extraction (lightrag.py:652-657 keys chunks by chunk_id):
+                # a periodic text whose windows repeat must be extracted once
+                # per unique chunk, or relation weights / mention_count
+                # inflate vs the reference. Last-writer, insertion order.
+                seen_ids: dict[str, dict] = {}
                 for ch in chunking_by_token_size(
                     tokenizer,
                     text,
@@ -140,9 +146,11 @@ def extract_mentions_fused(
                 ):
                     if not ch["content"]:
                         continue
-                    chunk_id = compute_mdhash_id(
+                    cid = compute_mdhash_id(
                         ch["content"], prefix="chunk-", workspace=workspace
                     )
+                    seen_ids[cid] = ch
+                for chunk_id, ch in seen_ids.items():
                     entities, relations = parse_extraction_result(
                         extractor(ch["content"])
                     )

@@ -22,20 +22,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from aperag_spark import FORCE_LLM_SUMMARY_ON_MERGE, GRAPH_FIELD_SEP
-from aperag_spark.operators.merge import merge_entities, merge_relations
-
-
-def _summarized_by_string(frags_col: str, threshold: int):
-    """Summary trigger counted on the JOINED string's <SEP> occurrences
-    (operate.py:313-316: num_fragment = description.count(SEP)+1) — an old
-    folded-in description is one array element but may contain nested SEPs,
-    and those COUNT in the reference."""
-    joined = F.array_join(F.col(frags_col), GRAPH_FIELD_SEP)
-    n = F.size(F.split(joined, GRAPH_FIELD_SEP))
-    return F.when(
-        (n > 1) & (n >= threshold),
-        F.concat(F.lit("SUMMARY:"), F.substring(F.md5(joined), 1, 16)),
-    ).otherwise(joined)
+from aperag_spark.operators.merge import (
+    _summarized_by_string,
+    merge_entities,
+    merge_relations,
+)
 
 
 def _union_arrays(a, b):

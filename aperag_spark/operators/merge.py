@@ -41,14 +41,25 @@ def _occ():
     )
 
 
-def _summarized_description(frags_col: str, threshold: int):
+def _summarized_by_string(frags_col: str, threshold: int):
     """Deterministic stand-in for _handle_entity_relation_summary
-    (operate.py:118-149): SUMMARY:md5(joined)[:16], JVM-side (no UDF)."""
+    (operate.py:118-149), JVM-side (no UDF). The trigger counts fragments on
+    the JOINED string's <SEP> occurrences (operate.py:313-316:
+    num_fragment = description.count(SEP)+1), NOT on array size — a single
+    extracted fragment that itself embeds '<SEP>' (possible once a real LLM
+    replaces the stub extractor) counts as multiple fragments in the
+    reference. Shared by the batch path here and the incremental fold-in
+    (operators/incremental.py), so both trigger identically."""
     joined = F.array_join(F.col(frags_col), GRAPH_FIELD_SEP)
+    n = F.size(F.split(joined, GRAPH_FIELD_SEP))
     return F.when(
-        F.size(F.col(frags_col)) >= threshold,
+        (n > 1) & (n >= threshold),
         F.concat(F.lit("SUMMARY:"), F.substring(F.md5(joined), 1, 16)),
     ).otherwise(joined)
+
+
+# Backwards-compatible alias (round-1 name).
+_summarized_description = _summarized_by_string
 
 
 def merge_entities(

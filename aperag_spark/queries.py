@@ -134,9 +134,14 @@ WITH toks AS (
 SELECT doc_id,
        CAST((s - 1) / {_STRIDE} AS INT) AS chunk_order_index,
        CAST(least({CHUNK_SIZE}, len(t) - s + 1) AS INT) AS tokens,
-       trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), '')) AS content
+       -- trim char set = Python str.strip() whitespace (space \\t \\n \\r \\x0b \\x0c);
+       -- bare trim() strips only spaces and would diverge on corpora with
+       -- embedded newlines/tabs at chunk edges
+       trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), ''),
+            concat(' ', chr(9), chr(10), chr(13), chr(11), chr(12))) AS content
 FROM win
-WHERE trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), '')) <> ''
+WHERE trim(array_to_string(list_slice(t, s, s + {CHUNK_SIZE - 1}), ''),
+           concat(' ', chr(9), chr(10), chr(13), chr(11), chr(12))) <> ''
 """
 
 
@@ -309,11 +314,15 @@ def q_kg_top_entities(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("degree"),
         F.sum("weight").cast("bigint").alias("total_weight"),
     )
-    w = Window.orderBy(F.desc("degree"), F.desc("total_weight"), F.asc("entity"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 20)
-        .select("rank", "entity", "degree", "total_weight")
+    # top-k via orderBy().limit(k) → TakeOrderedAndProject (per-partition
+    # heap + driver merge of k rows), NOT a global row_number window that
+    # funnels the whole entity table through one task. The rank column is
+    # then assigned on the 20 surviving rows only.
+    order = [F.desc("degree"), F.desc("total_weight"), F.asc("entity")]
+    top = agg.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "entity", "degree", "total_weight"
     )
 
 
@@ -486,6 +495,12 @@ WHERE len(shingles) >= 1
 """
 
 
+MINHASH_BUCKET_CAP = 64  # standard LSH practice: a bucket this crowded is
+# boilerplate (a shingle shared by everything) and carries no dedup signal;
+# without the cap, ONE degenerate bucket of 1M docs builds ~10^12 pairs in a
+# single task. Dropped buckets are observable via q_dedup_minhash_bucket_stats.
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
     """LSH banding: docs sharing any (seed, minhash) bucket become candidate
     pairs, then exact shingle-Jaccard is computed per pair (verify step).
@@ -494,12 +509,15 @@ def q_dedup_minhash_candidates(spark, sf_dir):
     # bucket-local pair generation: group each (seed, minhash) bucket's
     # members and emit the O(bucket²) pairs from the sorted member array —
     # one aggregation instead of a self-join that computes the signature
-    # subplan twice. Bucket sizes bound the blow-up at any scale.
+    # subplan twice. Bucket sizes ≤ MINHASH_BUCKET_CAP bound the blow-up
+    # (max cap·(cap-1)/2 = 2016 pairs per bucket row) at any scale.
     sig = q_dedup_minhash_sig(spark, sf_dir)
     buckets = (
         sig.groupBy("seed", "minhash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
-        .where(F.size("members") > 1)
+        .where(
+            (F.size("members") > 1) & (F.size("members") <= MINHASH_BUCKET_CAP)
+        )
     )
     pairs = (
         buckets.select(
@@ -544,9 +562,15 @@ def q_dedup_minhash_candidates(spark, sf_dir):
 ORACLE_DEDUP_MINHASH_CANDIDATES = f"""
 WITH sig AS ({ORACLE_DEDUP_MINHASH_SIG}),
 sh AS ({_SQL_SHINGLES}),
+ok_buckets AS (
+  -- mirror of MINHASH_BUCKET_CAP: degenerate buckets emit no pairs
+  SELECT seed, minhash FROM sig GROUP BY seed, minhash
+  HAVING count(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}
+),
 pairs AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM sig x JOIN sig y ON x.seed = y.seed AND x.minhash = y.minhash
+  JOIN ok_buckets ob ON x.seed = ob.seed AND x.minhash = ob.minhash
   WHERE x.doc_id < y.doc_id
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
@@ -556,34 +580,75 @@ FROM pairs JOIN sh a ON pairs.doc_a = a.doc_id JOIN sh b ON pairs.doc_b = b.doc_
 """
 
 
+def q_dedup_minhash_bucket_stats(spark, sf_dir):
+    """LSH bucket observability: per band (seed), how many buckets exist,
+    how many are pair-producing, and how many exceed MINHASH_BUCKET_CAP and
+    are therefore DROPPED by q_dedup_minhash_candidates — the 'no silent
+    caps' counterpart of the cap itself."""
+    sig = q_dedup_minhash_sig(spark, sf_dir)
+    sizes = sig.groupBy("seed", "minhash").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum((F.col("sz") > 1).cast("int")).cast("bigint").alias("n_multi"),
+            F.sum((F.col("sz") > MINHASH_BUCKET_CAP).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+        )
+        .select(F.col("seed").cast("int").alias("seed"), "n_buckets", "n_multi", "n_dropped", "max_bucket")
+    )
+
+
+ORACLE_DEDUP_MINHASH_BUCKET_STATS = f"""
+WITH sig AS ({ORACLE_DEDUP_MINHASH_SIG}),
+sizes AS (SELECT seed, minhash, count(*) AS sz FROM sig GROUP BY seed, minhash)
+SELECT CAST(seed AS INT) AS seed,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       CAST(sum(CASE WHEN sz > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(max(sz) AS BIGINT) AS max_bucket
+FROM sizes GROUP BY seed
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per doc: per-word 32-bit hash
     (md5-derived, portable), occurrence-weighted bit vote, vote sign →
-    fingerprint bits. All JVM expressions (conv/shift), no UDF."""
+    fingerprint bits. All JVM expressions (conv/shift), no UDF.
+
+    ONE shuffle: the occurrence-weighted vote Σ_distinct_words cnt·(±1) is
+    identical to Σ_occurrences (±1), so there is no need for the
+    (doc, word)-count pre-aggregation, and the 32 bit votes are 32
+    conditional SUM aggregates over the same groupBy(doc_id) — map-side
+    partial aggregation collapses each input partition to one 32-column row
+    per doc before the exchange (vs round 1's per-(doc,word,bit) explode:
+    32× shuffle inflation + a second shuffle)."""
     docs = _t(spark, sf_dir, "documents")
-    wc = (
+    occ = (
         docs.select("doc_id", F.explode(_words()).alias("w"))
         .where(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"))
     )
-    bits = wc.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    votes = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
     )
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN cnt ELSE -cnt END")
-        ).alias("vote")
+    fingerprint = F.expr(
+        " + ".join(
+            f"CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+            for b in range(32)
+        )
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-        ).cast("bigint").alias("simhash")
-    ).select(F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
+    return votes.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        fingerprint.cast("bigint").alias("simhash"),
+    )
 
 
 ORACLE_DEDUP_SIMHASH = """
@@ -736,44 +801,81 @@ FROM (SELECT query_id, label,
 """
 
 
-def q_sim_neardup(spark, sf_dir, threshold: float = 0.4):
-    """Embedding-cosine near-duplicate pairs via blocked matrix multiply:
-    each partition's block of vectors is multiplied (numpy float64 GEMM)
-    against the broadcast corpus matrix — the scale pattern for all-pairs
-    similarity (partition × broadcast block; at 100 TB the broadcast side
-    becomes an LSH/IVF-bucketed candidate set instead of the full corpus).
-    ~100x the per-pair expression evaluation; float64 GEMM vs the oracle's
-    sequential loop differ ~1e-15, far below the 1e-6 rounding."""
+def q_sim_neardup(spark, sf_dir, threshold: float = 0.4, n_blocks: int = 8):
+    """EXACT embedding-cosine near-duplicate pairs via distributed
+    block-pair GEMM — nothing ever touches the driver (round 1 collected the
+    corpus with toPandas + sc.broadcast: a guaranteed driver OOM at scale).
+
+    Vectors are hash-partitioned into n_blocks disjoint blocks; each of the
+    n_blocks·(n_blocks+1)/2 unordered block pairs becomes ONE task row whose
+    UDF runs a float64 numpy GEMM between the two packed matrices. Task
+    memory is bounded by 2·block_size vectors regardless of corpus size;
+    exact all-pairs is inherently O(n²) work, and this shape spreads that
+    work over (n/B)² bounded tasks — at 100 TB you size n_blocks to keep
+    blocks ~10k vectors and (preferably) switch to the sub-quadratic LSH
+    path, q_sim_neardup_lsh. float64 GEMM vs the oracle's sequential loop
+    differ ~1e-15, far below the 1e-6 rounding."""
     import numpy as np
     import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.toPandas()  # driver-side broadcast payload (id + matrix)
-    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    packed = emb.groupBy(
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk")
+    ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    # blk_a <= blk_b: each unordered block pair exactly once (blocks are
+    # disjoint, so every vector pair lives in exactly one block-pair row)
+    block_pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
 
-    def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat = bc.value
+    def _unpack(rows) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
+        mat = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def _gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            a_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            a_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = np.round(a_mat @ b_mat.T, 6)
-            ai, bj = np.where(sims >= threshold)
-            keep = a_ids[ai] < b_ids[bj]  # canonical a<b, drops self-pairs
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai][keep],
-                    "vec_b": b_ids[bj][keep],
-                    "cosine": sims[ai, bj][keep],
-                }
-            )
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, mat_a = _unpack(rows_a)
+                ids_b, mat_b = _unpack(rows_b)
+                sims = np.round(mat_a @ mat_b.T, 6)
+                ai, bj = np.where(sims >= threshold)
+                ia, ib = ids_a[ai], ids_b[bj]
+                if blk_a == blk_b:
+                    # same matrix on both sides: keep one triangle (also
+                    # drops self-pairs)
+                    keep = ia < ib
+                    ia, ib, sims_k = ia[keep], ib[keep], sims[ai, bj][keep]
+                else:
+                    # disjoint blocks: every hit is a distinct pair seen
+                    # exactly once — canonicalize ids, don't filter
+                    sims_k = sims[ai, bj]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "cosine": sims_k,
+                    }
+                )
 
-    return emb.mapInPandas(_block, "vec_a bigint, vec_b bigint, cosine double")
+    return block_pairs.mapInPandas(_gemm, "vec_a bigint, vec_b bigint, cosine double")
+
+
+def q_sim_neardup_lsh(spark, sf_dir, threshold: float = 0.4):
+    """Near-dup pairs via random-hyperplane LSH blocking + per-bucket exact
+    GEMM rescore (operators/ann.neardup_pairs_lsh) — the sub-quadratic scale
+    path: work is Σ bucket² instead of n². Parameters here are chosen
+    recall-exhaustive on the test corpora (verified against the exact path
+    in tests/test_ann.py AND by sharing the brute-force oracle), so the
+    driver's hash check proves LSH found every pair ≥ threshold."""
+    from aperag_spark.operators.ann import neardup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return neardup_pairs_lsh(emb, threshold=threshold)
 
 
 ORACLE_SIM_NEARDUP = """
@@ -987,10 +1089,14 @@ def q_top_customers(spark, sf_dir, k: int = 25):
         F.broadcast(cust.select("c_custkey", "c_name", "c_mktsegment")),
         spend.o_custkey == cust.c_custkey,
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    # TakeOrderedAndProject (orderBy+limit), then rank the k survivors —
+    # see q_kg_top_entities for why not a global row_number window.
+    order = [F.desc("total_spend"), F.asc("c_custkey")]
+    w = Window.orderBy(*order)
     return (
-        joined.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
+        joined.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select(
             "rank",
             F.col("c_custkey").cast("bigint").alias("c_custkey"),
@@ -1033,10 +1139,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
+    "dedup_minhash_bucket_stats": q_dedup_minhash_bucket_stats,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk": q_sim_topk,
     "sim_knn_label": q_sim_knn_label,
     "sim_neardup": q_sim_neardup,
+    "sim_neardup_lsh": q_sim_neardup_lsh,
     "text_stats": q_text_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1059,10 +1167,15 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
+    "dedup_minhash_bucket_stats": ORACLE_DEDUP_MINHASH_BUCKET_STATS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_knn_label": ORACLE_SIM_KNN_LABEL,
     "sim_neardup": ORACLE_SIM_NEARDUP,
+    # the LSH path shares the brute-force oracle: its params are verified
+    # recall-exhaustive at threshold 0.4 on the fixed test corpora, so a
+    # hash match PROVES it found every qualifying pair
+    "sim_neardup_lsh": ORACLE_SIM_NEARDUP,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
