@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 
 from aperag_spark import CHUNK_OVERLAP_TOKEN_SIZE, CHUNK_TOKEN_SIZE
 from aperag_spark.textproc import (
-    Tokenizer,
     chunking_by_token_size,
+    get_tokenizer,
     clean_text,
     compute_mdhash_id,
     extract_text_from_html,
@@ -79,7 +79,7 @@ def chunk_texts(
     reference's file_path plumbing (lightrag.py:653-657)."""
 
     def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tokenizer = Tokenizer()  # once per task
+        tokenizer = get_tokenizer()  # once per task (factory: tiktoken if available)
         for pdf in batches:
             rows: list[dict] = []
             for url, doc_id, text in zip(pdf["url"], pdf["doc_id"], pdf["text"]):

@@ -181,6 +181,9 @@ def extract_query_keywords(query_text: str, k: int = 8) -> list[str]:
     return [w for w, _ in sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]]
 
 
+QUERY_MODES = ("local", "global", "hybrid", "naive", "mix", "bypass")
+
+
 def kg_query_context(
     query_text: str,
     mode: str,
@@ -191,10 +194,23 @@ def kg_query_context(
     relation_vdb_df: DataFrame,
     top_k: int = 60,
     token_budget: int = 4000,
+    chunk_vdb_df: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Q2 mode routing (base.py:66-73, operate.py:841-856, kg_query
-    operate.py:875-974): local / global / hybrid context assembly seeded by
-    the extracted keywords."""
+    """Q2 mode routing over all six reference modes (base.py:66-73 mode
+    literal; lightrag.py:850-884 dispatch; kg_query operate.py:875-974):
+
+      local / global / hybrid — graph context seeded by extracted keywords
+      naive  — pure chunk-vdb top-k, no graph (operate.py:1769-1836);
+               requires chunk_vdb_df
+      mix    — hybrid graph context + vector text-units retrieved with the
+               ORIGINAL query (lightrag.py:848 sets param.original_query;
+               operate.py:1207-1231 pulls _get_vector_context from
+               chunks_vdb only in mix mode, contributing no entities or
+               relations, then process_combine_contexts merges all three);
+               requires chunk_vdb_df
+      bypass — no retrieval at all (lightrag.py:873-884 calls the LLM
+               directly): empty context frames, prompt = the query itself
+    """
     kw_text = ", ".join(extract_query_keywords(query_text))
     if mode == "local":
         return build_local_context(
@@ -204,27 +220,63 @@ def kg_query_context(
         return build_global_context(
             kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
         )
-    if mode == "hybrid":
+    if mode in ("hybrid", "mix"):
         lo = build_local_context(
             kw_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
         )
         gl = build_global_context(
             kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
         )
-        # hybrid combine (operate.py:1169-1231): dedupe on non-id fields
+        chunk_sources = [
+            lo["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
+            gl["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
+        ]
+        if mode == "mix":
+            if chunk_vdb_df is None:
+                raise ValueError("mix mode requires chunk_vdb_df (operate.py:1207)")
+            # vector side: text units only, seeded by the ORIGINAL query —
+            # the keyword extraction is skipped for the vector leg
+            # (operate.py:1208 passes query_param.original_query)
+            naive = build_naive_context(
+                query_text, chunks, chunk_vdb_df, top_k=top_k, token_budget=token_budget
+            )
+            chunk_sources.append(
+                naive.select("chunk_id", "content").withColumn("id", F.lit(""))
+            )
+        # combine (operate.py:1169-1231 hybrid, 1224-1231 mix): dedupe on
+        # non-id fields, sequential re-id; vector leg contributes empty
+        # entity/relation lists (operate.py:1200-1204), so entities and
+        # relations combine identically in hybrid and mix
         ents = combine_contexts(
             lo["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
             gl["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
         )
-        chs = combine_contexts(
-            lo["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
-            gl["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
-        )
+        chs = combine_contexts(*chunk_sources)
         rels = lo["relations"].select("src_id", "tgt_id", "weight").unionByName(
             gl["relations"].select("src_id", "tgt_id", "weight")
         ).dropDuplicates(["src_id", "tgt_id"])
         return {"entities": ents, "relations": rels, "chunks": chs}
-    raise ValueError(f"unknown mode: {mode}")
+    if mode == "naive":
+        if chunk_vdb_df is None:
+            raise ValueError("naive mode requires chunk_vdb_df (operate.py:1769)")
+        chs = build_naive_context(
+            query_text, chunks, chunk_vdb_df, top_k=top_k, token_budget=token_budget
+        )
+        return {
+            "entities": entities.limit(0).select("entity_id", "entity_type", "description"),
+            "relations": relations.limit(0).select("src_id", "tgt_id", "weight"),
+            "chunks": chs,
+        }
+    if mode == "bypass":
+        # no knowledge retrieval: the reference hands the raw query to the
+        # LLM with conversation history only (lightrag.py:873-884)
+        return {
+            "entities": entities.limit(0).select("entity_id", "entity_type", "description"),
+            "relations": relations.limit(0).select("src_id", "tgt_id", "weight"),
+            "chunks": chunks.limit(0).select("chunk_id", "content"),
+            "prompt": query_text,
+        }
+    raise ValueError(f"unknown mode: {mode} (expected one of {QUERY_MODES})")
 
 
 def build_global_context(

@@ -117,8 +117,8 @@ def extract_mentions_fused(
     import pandas as pd
 
     from aperag_spark.textproc import (
-        Tokenizer,
         chunking_by_token_size,
+        get_tokenizer,
         clean_text,
         compute_mdhash_id,
         extract_text_from_html,
@@ -127,7 +127,7 @@ def extract_mentions_fused(
     cols = [c.split(" ")[0] for c in MENTIONS_SCHEMA.split(", ")]
 
     def _fused(batches):
-        tokenizer = Tokenizer()
+        tokenizer = get_tokenizer()
         for pdf in batches:
             rows: list[dict] = []
             for url, html in zip(pdf["url"], pdf["html"]):

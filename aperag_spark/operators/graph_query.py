@@ -69,10 +69,15 @@ def top_k_by_degree(relations: DataFrame, k: int = 20) -> DataFrame:
         F.count(F.lit(1)).alias("degree"),
         F.round(F.sum("weight"), 6).alias("total_weight"),
     )
-    w = Window.orderBy(F.desc("degree"), F.desc("total_weight"), F.asc("entity_id"))
+    # orderBy+limit → TakeOrderedAndProject (per-partition heap, driver merge
+    # of k rows) instead of funneling the whole entity aggregate through a
+    # single-partition row_number window; rank is assigned on the k survivors
+    order = [F.desc("degree"), F.desc("total_weight"), F.asc("entity_id")]
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        agg.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
         .select("rank", "entity_id", "degree", "total_weight")
     )
 

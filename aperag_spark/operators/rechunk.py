@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-from aperag_spark.textproc import Tokenizer
+from aperag_spark.textproc import Tokenizer, get_tokenizer
 
 # Separator hierarchy, least-coherence-impact first —
 # reference chunking.py:222-234
@@ -140,7 +140,7 @@ def rechunk_parts(
     """Title-grouped rechunk: group parts under headings, maintain the title
     stack, merge whole groups while they fit, split oversized parts
     (chunking.py:42-147). Returns [{'content', 'titles'}]."""
-    tok = tokenizer or Tokenizer()
+    tok = tokenizer or get_tokenizer()
     splitter = SemanticSplitter(tok)
     ntok = lambda s: len(tok.encode(s))
 
@@ -231,17 +231,31 @@ RECHUNK_SCHEMA = (
 
 def rechunk_documents(
     texts, chunk_size: int = 400, chunk_overlap: int = 20, id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str = "text", parser: str = "full",
 ):
-    """DataFrame flat-map: markdown-ish text → rechunked vector-path chunks."""
+    """DataFrame flat-map: markdown text → rechunked vector-path chunks.
+
+    parser="full" (default) runs the complete markdown→Part parser
+    (aperag_spark.docparser.parse_md — code blocks, tables, nested lists,
+    blockquotes, setext headings; reference parse_md.py:34-471) and feeds
+    the Part stream to the rechunker with reference-exact group titles
+    (full '#'-prefixed content, chunking.py:57-59). parser="simple" keeps
+    the round-1 titles+paragraphs extractor (hash-less titles)."""
     import pandas as pd
 
+    from aperag_spark.docparser import parse_md, parts_for_rechunk
+
+    def _parts(text: str) -> list[dict]:
+        if parser == "full":
+            return parts_for_rechunk(parse_md(text))
+        return parse_markdown_parts(text)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok = Tokenizer()
+        tok = get_tokenizer()
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                parts = parse_markdown_parts(text)
+                parts = _parts(text)
                 for i, ch in enumerate(
                     rechunk_parts(parts, chunk_size, chunk_overlap, tok)
                 ):

@@ -107,5 +107,9 @@ def topk_search(
     scored = vdb.withColumn("score", cosine_col(F.col("embedding"), q)).where(
         F.col("score") > threshold
     )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # TakeOrderedAndProject via orderBy+limit, then rank the k survivors —
+    # the vdb can be the whole entity table; a global row_number window
+    # would single-task it
+    order = [F.desc("score"), F.asc("id")]
+    w = Window.orderBy(*order)
+    return scored.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))

@@ -971,6 +971,101 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Fulltext search (S8/Q10) + flow merge (Q11) over `documents`
+# ---------------------------------------------------------------------------
+
+FT_KEYWORDS = ["vector", "join", "scan"]
+FT_TOPK = 20
+
+
+def q_fulltext_bm25(spark, sf_dir):
+    """Q10 fulltext search (ES bool/should match, fulltext_index.py:198-233)
+    over the S8 inverted index: BM25 (k1=1.2, b=0.75), minimum_should_match
+    80% of the keywords, top-k by score."""
+    from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    out = bm25_search(idx, FT_KEYWORDS, topk=FT_TOPK)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"), "score", "matched", "rank"
+    )
+
+
+ORACLE_FULLTEXT_BM25 = f"""
+WITH terms AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '[^\\w]+'), w -> w <> '')) AS term
+  FROM documents
+),
+postings AS (SELECT term, id, count(*) AS tf FROM terms GROUP BY term, id),
+doclens AS (SELECT id, count(*) AS dl FROM terms GROUP BY id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclens),
+kw(term) AS (VALUES {", ".join(f"('{k}')" for k in FT_KEYWORDS)}),
+dfs AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN (SELECT term FROM kw) GROUP BY term
+),
+scored AS (
+  SELECT p.id, p.term,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+           AS term_score
+  FROM postings p JOIN dfs d USING (term) JOIN doclens l USING (id) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT id, round(sum(term_score), 4) AS score,
+         CAST(count(DISTINCT term) AS INT) AS matched
+  FROM scored GROUP BY id
+  HAVING count(DISTINCT term) >= {max(int(0.8 * len(FT_KEYWORDS)), 1)}
+)
+SELECT CAST(id AS BIGINT) AS doc_id, score, matched,
+       CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+FROM per_doc
+QUALIFY rank <= {FT_TOPK}
+"""
+
+
+def q_flow_merge(spark, sf_dir):
+    """Q11 flow merge node (flow/runners/merge.py:46-69): union the vector /
+    fulltext / graph retrieval legs, dedupe by TEXT keeping the first
+    occurrence in (vector, fulltext, graph) order then within-leg rank
+    order. Legs are carved deterministically from `documents` (the node is
+    leg-agnostic — it sees three DocumentWithScore lists)."""
+    from aperag_spark.operators.flow import merge_docs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def leg(lo: int, hi: int):
+        return docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+            "text",
+            F.round(F.lit(1.0) - F.col("doc_id") * 0.01, 4).alias("score"),
+            (F.col("doc_id") - lo + 1).cast("int").alias("rank"),
+        )
+
+    merged = merge_docs(leg(0, 10), leg(5, 15), leg(12, 22), deduplicate=True)
+    return merged.select("text", "score", F.col("rank").cast("int").alias("rank"), "source")
+
+
+ORACLE_FLOW_MERGE = """
+WITH legs AS (
+  SELECT text, round(1.0 - doc_id * 0.01, 4) AS score,
+         CAST(doc_id - 0 + 1 AS INT) AS rank, 'vector' AS source, 0 AS pri
+  FROM documents WHERE doc_id >= 0 AND doc_id < 10
+  UNION ALL
+  SELECT text, round(1.0 - doc_id * 0.01, 4), CAST(doc_id - 5 + 1 AS INT), 'fulltext', 1
+  FROM documents WHERE doc_id >= 5 AND doc_id < 15
+  UNION ALL
+  SELECT text, round(1.0 - doc_id * 0.01, 4), CAST(doc_id - 12 + 1 AS INT), 'graph', 2
+  FROM documents WHERE doc_id >= 12 AND doc_id < 22
+)
+SELECT text, score, rank, source
+FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY pri, rank) AS rn FROM legs)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Relational / time-series coverage (events + TPC-H-ish tables)
 # ---------------------------------------------------------------------------
 
@@ -1145,6 +1240,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_label": q_sim_knn_label,
     "sim_neardup": q_sim_neardup,
     "sim_neardup_lsh": q_sim_neardup_lsh,
+    "fulltext_bm25": q_fulltext_bm25,
+    "flow_merge": q_flow_merge,
     "text_stats": q_text_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1176,6 +1273,8 @@ ORACLES: dict[str, str] = {
     # recall-exhaustive at threshold 0.4 on the fixed test corpora, so a
     # hash match PROVES it found every qualifying pair
     "sim_neardup_lsh": ORACLE_SIM_NEARDUP,
+    "fulltext_bm25": ORACLE_FULLTEXT_BM25,
+    "flow_merge": ORACLE_FLOW_MERGE,
     "text_stats": ORACLE_TEXT_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,

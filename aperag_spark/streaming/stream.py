@@ -60,12 +60,12 @@ def windowed_chunk_rate(
     complete mode and needlessly stateful in append mode."""
     import pandas as pd
 
-    from aperag_spark.textproc import Tokenizer, chunking_by_token_size
+    from aperag_spark.textproc import chunking_by_token_size, get_tokenizer
 
     texts = extract_texts(pages_stream, workspace)
 
     def _stats(batches):
-        tok = Tokenizer()
+        tok = get_tokenizer()
         for pdf in batches:
             rows = []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):

@@ -155,22 +155,54 @@ class Tokenizer:
         return "".join(tokens)
 
 
-try:  # pragma: no cover - exercised only where tiktoken is installed
-    import tiktoken  # noqa: F401
+class TiktokenTokenizer(Tokenizer):
+    """Real o200k_base tokenizer (utils.py:191-218): backed by tiktoken when
+    installed, else by the vendored pure-python BPE engine
+    (aperag_spark.bpe) over a rank file at $APERAG_SPARK_TIKTOKEN_PATH.
+    Raises if neither source is available — use get_tokenizer() for the
+    fall-back chain."""
 
-    class TiktokenTokenizer(Tokenizer):
-        def __init__(self, model: str = "gpt-4o-mini"):
-            self._enc = tiktoken.encoding_for_model(model)
+    def __init__(self, encoding: str = "o200k_base"):
+        try:
+            import tiktoken
 
-        def encode(self, text: str):
-            return self._enc.encode(text)
+            self._enc = tiktoken.get_encoding(encoding)
+        except Exception:
+            import os
 
-        def decode(self, tokens):
-            return self._enc.decode(tokens)
+            from aperag_spark.bpe import BpeEncoding, load_tiktoken_bpe
 
-    DEFAULT_TOKENIZER: Tokenizer = TiktokenTokenizer()
-except Exception:  # ModuleNotFoundError in sandbox
-    DEFAULT_TOKENIZER = Tokenizer()
+            path = os.environ.get("APERAG_SPARK_TIKTOKEN_PATH")
+            if not path or not os.path.exists(path):
+                raise RuntimeError(
+                    "no tiktoken install and no $APERAG_SPARK_TIKTOKEN_PATH rank file"
+                )
+            self._enc = BpeEncoding(load_tiktoken_bpe(path))
+
+    def encode(self, text: str):
+        return self._enc.encode(text)
+
+    def decode(self, tokens):
+        return self._enc.decode(list(tokens))
+
+
+def get_tokenizer() -> Tokenizer:
+    """THE tokenizer factory. Every pipeline call site (chunking, fused
+    extraction, rechunker) AND the parity port (tests/reference_port.py)
+    construct their tokenizer here, so they can never disagree; the oracle
+    queries in queries.py pin Tokenizer() explicitly because their DuckDB
+    SQL reproduces that regex.
+
+    Preference order: tiktoken o200k_base (the reference's encoding,
+    utils.py:191-218) → vendored BPE over $APERAG_SPARK_TIKTOKEN_PATH →
+    the deterministic regex Tokenizer."""
+    try:
+        return TiktokenTokenizer()
+    except Exception:
+        return Tokenizer()
+
+
+DEFAULT_TOKENIZER: Tokenizer = get_tokenizer()
 
 
 def chunking_by_token_size(

@@ -31,6 +31,7 @@ from collections import Counter, defaultdict
 from aperag_spark import FORCE_LLM_SUMMARY_ON_MERGE, GRAPH_FIELD_SEP
 from aperag_spark.textproc import (
     Tokenizer,
+    get_tokenizer,
     chunking_by_token_size,
     clean_text,
     compute_mdhash_id,
@@ -52,7 +53,7 @@ def run_reference_pipeline(
 ) -> dict:
     """pages rows → {'chunks': [...], 'entities': {name: {...}},
     'relations': {(src,tgt): {...}}} with reference merge semantics."""
-    tokenizer = Tokenizer()
+    tokenizer = get_tokenizer()  # SAME factory as the Spark pipeline
 
     # --- chunking (lightrag.py:571-687) ---
     chunks: list[dict] = []  # (chunk_id, doc_id, url, order, content)

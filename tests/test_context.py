@@ -69,9 +69,15 @@ def test_global_context(spark, graph):
 
 
 def test_kg_query_modes(spark, graph):
+    """All six reference modes (base.py:66-73) route and obey the
+    reference's fallback/requirement rules (lightrag.py:850-884)."""
     from aperag_spark.operators.context import extract_query_keywords, kg_query_context
+    from aperag_spark.operators.vectors import embed_column
 
     entities, relations, chunks, evdb, rvdb = graph
+    cvdb = embed_column(
+        chunks.select(F.col("chunk_id").alias("id"), "content"), "content"
+    ).localCheckpoint()
     q = "What is Acme0 Corp known for in cloud energy partnership?"
     assert extract_query_keywords(q)[0] in {"acme0", "cloud", "corp", "energy", "known", "partnership"}
     for mode in ["local", "global", "hybrid"]:
@@ -84,6 +90,30 @@ def test_kg_query_modes(spark, graph):
     hy = kg_query_context(q, "hybrid", entities, relations, chunks, evdb, rvdb, top_k=10)
     ids = sorted(int(r["id"]) for r in hy["entities"].select("id").collect())
     assert ids == list(range(1, len(ids) + 1))
+    # naive: chunks only, no graph rows (operate.py:1769-1836)
+    nv = kg_query_context(q, "naive", entities, relations, chunks, evdb, rvdb, top_k=10, chunk_vdb_df=cvdb)
+    assert nv["entities"].count() == 0 and nv["relations"].count() == 0
+    assert nv["chunks"].count() > 0
+    # naive/mix without a chunk vdb is an error (operate.py:1207, 1769)
+    for needs_cvdb in ("naive", "mix"):
+        with pytest.raises(ValueError):
+            kg_query_context(q, needs_cvdb, entities, relations, chunks, evdb, rvdb)
+    # mix ⊇ hybrid: graph legs identical, chunk leg extended by the vector
+    # leg retrieved with the ORIGINAL query (operate.py:1207-1231)
+    mx = kg_query_context(q, "mix", entities, relations, chunks, evdb, rvdb, top_k=10, chunk_vdb_df=cvdb)
+    hy_ents = {r["entity_id"] for r in hy["entities"].collect()}
+    mx_ents = {r["entity_id"] for r in mx["entities"].collect()}
+    assert hy_ents == mx_ents
+    hy_chunks = {r["chunk_id"] for r in hy["chunks"].collect()}
+    mx_chunks = {r["chunk_id"] for r in mx["chunks"].collect()}
+    assert hy_chunks <= mx_chunks
+    # mix chunk ids re-sequenced after the 3-way combine (utils.py:293-296)
+    mids = sorted(int(r["id"]) for r in mx["chunks"].select("id").collect())
+    assert mids == list(range(1, len(mids) + 1))
+    # bypass: no retrieval at all, prompt is the raw query (lightrag.py:873-884)
+    bp = kg_query_context(q, "bypass", entities, relations, chunks, evdb, rvdb)
+    assert bp["prompt"] == q
+    assert bp["entities"].count() == 0 and bp["relations"].count() == 0 and bp["chunks"].count() == 0
 
 
 def test_naive_context(spark, graph):

@@ -85,7 +85,14 @@ def test_spark_flatmap(spark):
     out = rechunk_documents(df, chunk_size=100, chunk_overlap=10).collect()
     d1 = [r for r in out if r["doc_id"] == "d1"]
     assert len(d1) > 3 and all(r["tokens"] <= 101 for r in d1)
-    assert all(r["titles"] == ["T"] for r in d1)
+    # full parser (default): group title is the complete TitlePart content
+    # INCLUDING its '#' markup (reference chunking.py:57-59)
+    assert all(r["titles"] == ["# T"] for r in d1)
     assert [r["chunk_index"] for r in sorted(d1, key=lambda r: r.chunk_index)] == list(
         range(len(d1))
+    )
+    # round-1 simple parser path keeps hash-less titles
+    legacy = rechunk_documents(df, chunk_size=100, chunk_overlap=10, parser="simple")
+    assert all(
+        r["titles"] == ["T"] for r in legacy.collect() if r["doc_id"] == "d1"
     )
