@@ -669,6 +669,96 @@ FROM votes GROUP BY doc_id
 """
 
 
+SIMHASH_BANDS = 4  # 4 bands × 8 bits over the 32-bit fingerprint
+SIMHASH_BAND_CAP = 10_000  # boilerplate-bucket guard, mirrored in the oracle
+HAMMING_MAX = 3  # pigeonhole: dist ≤ 3 < 4 bands ⇒ ≥1 band identical ⇒ recall=1
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs via band blocking + exact Hamming verify:
+    docs sharing any 8-bit band of their 32-bit fingerprint become
+    candidates; pairs at Hamming distance ≤ {HAMMING_MAX} are kept. By the
+    pigeonhole principle a pair within distance 3 differs in at most 3 of
+    the 4 bands, so banding is PROVABLY recall-complete (unlike MinHash-LSH
+    banding, which is probabilistic). Work is Σ bucket² over 4×256 buckets —
+    the standard web-dedup shape (Manku et al., WWW'07 uses the same
+    permuted-block idea at 64 bits)."""
+    fp = q_dedup_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> struct(b AS band, shiftright(simhash, b * 8) & 255 AS bv))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= SIMHASH_BAND_CAP))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("members") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 1, F.size("members")),
+                            lambda m: F.struct(
+                                F.element_at("members", i)["doc_id"].alias("doc_a"),
+                                m["doc_id"].alias("doc_b"),
+                                F.element_at("members", i)["simhash"].alias("ha"),
+                                m["simhash"].alias("hb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.expr("ha ^ hb")).cast("int")
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH fp AS ({{SIMHASH_SQL}}),
+bands AS (
+  SELECT doc_id, simhash, g.generate_series AS band,
+         (simhash >> (g.generate_series * 8)) & 255 AS bv
+  FROM fp, generate_series(0, {SIMHASH_BANDS - 1}) g
+),
+ok AS (
+  SELECT band, bv FROM bands GROUP BY band, bv
+  HAVING count(*) BETWEEN 2 AND {SIMHASH_BAND_CAP}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+  JOIN ok ON x.band = ok.band AND x.bv = ok.bv
+  WHERE x.doc_id < y.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+""".replace("{SIMHASH_SQL}", ORACLE_DEDUP_SIMHASH)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
@@ -1236,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_minhash_bucket_stats": q_dedup_minhash_bucket_stats,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk": q_sim_topk,
     "sim_knn_label": q_sim_knn_label,
     "sim_neardup": q_sim_neardup,
@@ -1266,6 +1357,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
     "dedup_minhash_bucket_stats": ORACLE_DEDUP_MINHASH_BUCKET_STATS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_knn_label": ORACLE_SIM_KNN_LABEL,
     "sim_neardup": ORACLE_SIM_NEARDUP,

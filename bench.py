@@ -129,6 +129,20 @@ def _scaling_summary() -> dict | None:
             for line in f:
                 if line.startswith("Raw JSON: `"):
                     d = json.loads(line[len("Raw JSON: `") :].rstrip().rstrip("`"))
+                    if "sweeps" in d:  # paired-sweep protocol (round 2)
+                        return {
+                            "primary_pair": d.get("primary_pair"),
+                            "protocol": d.get("protocol"),
+                            "n_sweeps": len(d["sweeps"]),
+                            "normalized_efficiency_per_sweep": [
+                                s["normalized_efficiency"] for s in d["sweeps"]
+                            ],
+                            "median_normalized_efficiency": d.get(
+                                "median_normalized_efficiency"
+                            ),
+                            "median_raw_efficiency": d.get("median_raw_efficiency"),
+                            "see": "BENCH.md",
+                        }
                     return {
                         "primary_pair": d.get("primary_pair"),
                         "speedup_primary": d.get("speedup_primary"),

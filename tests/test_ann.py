@@ -61,3 +61,49 @@ def test_ann_is_sub_quadratic(spark):
     assert candidates < 0.15 * len(QUERY_IDS) * (n - 1), (
         f"{candidates} candidates vs all-pairs {len(QUERY_IDS) * (n - 1)}"
     )
+
+
+def test_neardup_lsh_high_threshold_subquadratic(spark):
+    """The LSH near-dup scale story: at a TRUE near-dup threshold (0.9),
+    narrow buckets (16 bits) with few tables are both sub-quadratic and
+    recall-complete on a clustered corpus — the regime where the exact
+    block-pair GEMM (q_sim_neardup) must be abandoned at 100 TB."""
+    import numpy as np
+
+    from aperag_spark.operators.ann import lsh_bucketize, neardup_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 40, 5, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.05 * rng.standard_normal(dim)  # tight near-dups
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(c * per + j)
+    mat = np.asarray(vecs)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # ground truth (driver-side numpy — test oracle only)
+    sims = np.round(mat @ mat.T, 6)
+    ai, bj = np.where(sims >= 0.9)
+    truth = {(int(ids[a]), int(ids[b])) for a, b in zip(ai, bj) if ids[a] < ids[b]}
+    assert len(truth) >= n_clusters  # clusters actually produce near-dups
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs_lsh(
+            emb, threshold=0.9, dim=dim, n_tables=8, n_bits=16
+        ).collect()
+    }
+    assert got == truth  # exact rescore → precision 1; buckets → recall 1 here
+
+    # sub-quadratic: candidate work Σ bucket·(bucket-1)/2 ≪ n(n-1)/2
+    n = len(ids)
+    buckets = lsh_bucketize(emb, dim=dim, n_tables=8, n_bits=16)
+    sizes = [r["c"] for r in buckets.groupBy("table", "bucket").agg(
+        F.count(F.lit(1)).alias("c")).collect()]
+    work = sum(s * (s - 1) // 2 for s in sizes)
+    assert work < n * (n - 1) // 2 / 4, f"work {work} not sub-quadratic vs {n*(n-1)//2}"

@@ -51,3 +51,45 @@ def test_head_entity_merge_completes_and_salted_agrees(spark):
     assert hot_salted["entity_type"] == hot_plain["entity_type"]
     # cold keys unaffected
     assert plain.count() == salted.count() == 5001
+
+
+def test_minhash_degenerate_bucket_capped(spark, tmp_path, monkeypatch):
+    """One boilerplate shingle shared by every document would put ALL docs
+    in one (seed, minhash) bucket — O(n²) pairs in a single task without
+    the cap. MINHASH_BUCKET_CAP must drop that bucket (observable via the
+    bucket-stats query) while pairs from small buckets survive."""
+    import pandas as pd
+
+    from aperag_spark.queries import (
+        MINHASH_BUCKET_CAP,
+        q_dedup_minhash_bucket_stats,
+        q_dedup_minhash_candidates,
+    )
+
+    n = 500  # >> cap
+    # 25-word boilerplate prefix → 23 shingles shared by EVERY doc, so for
+    # most seeds the corpus-wide min-hash shingle is a common one and all
+    # 500 docs collapse into one bucket; docs 0/1 additionally share a
+    # 10-word tail (their own near-dup signal, small buckets on the seeds
+    # where a tail shingle wins the min)
+    prefix = " ".join(f"c{j}" for j in range(25))
+    rows = []
+    for i in range(n):
+        tail = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            if i < 2
+            else f"uniq{i}xx uniq{i}yy uniq{i}zz"
+        )
+        rows.append({"doc_id": i, "text": f"{prefix} {tail}",
+                     "source": "s", "lang": "en"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    pairs = q_dedup_minhash_candidates(spark, str(tmp_path)).collect()
+    # the degenerate all-docs bucket produced no pairs...
+    assert len(pairs) < n  # without the cap this would be ~n²/2 = 125k
+    # ...but the true near-dup pair (docs 0,1 share 4+ shingles) survives
+    # via their OTHER minhash seeds' small buckets
+    assert any((p["doc_a"], p["doc_b"]) == (0, 1) for p in pairs)
+    stats = q_dedup_minhash_bucket_stats(spark, str(tmp_path)).collect()
+    assert sum(r["n_dropped"] for r in stats) >= 1  # drops are visible
+    assert max(r["max_bucket"] for r in stats) > MINHASH_BUCKET_CAP
