@@ -107,6 +107,119 @@ def windowed_chunk_rate(
     )
 
 
+ENTITY_STATE_SCHEMA = (
+    "mention_count long, type_names array<string>, type_counts array<long>, "
+    "type_occ_fp array<string>, type_occ_coi array<long>, type_occ_ri array<long>, "
+    "description_frags array<string>, source_ids array<string>"
+)
+
+ENTITY_OUT_SCHEMA = (
+    "entity_id string, entity_type string, description string, "
+    "description_frags array<string>, source_ids array<string>, mention_count long"
+)
+
+
+def streaming_entity_merge(mentions_stream: DataFrame, summary_threshold: int = 10) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    entity_name, fold each micro-batch's mention rows into persistent merge
+    state with the SAME semantics as the batch merge (operators/merge.py,
+    M2-M6) and the incremental fold-in (M7):
+
+      * mention_count accumulates;
+      * type vote = (count desc, first-occurrence asc) — the occurrence key
+        (file_path, chunk_order_index, record_idx) is carried in state so
+        the winner is deterministic regardless of micro-batch arrival order
+        (operate.py:296-301);
+      * description = sorted-set fragments, '<SEP>'-joined, LLM-summary stub
+        when the SEP-count reaches the threshold (operate.py:303-316);
+      * source_ids = set union (operate.py:306-310).
+
+    Emits the entity's refreshed merged row every time its group receives
+    rows (outputMode 'update'). State never expires (a KG entity is
+    long-lived); at 100 TB the state store is RocksDB-backed and partitioned
+    by the same shuffle key as the batch merge."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ents = mentions_stream.where(F.col("kind") == "entity").select(
+        "entity_name",
+        "entity_type",
+        "description",
+        "source_id",
+        "file_path",
+        "chunk_order_index",
+        "record_idx",
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        from aperag_spark.textproc import stub_summarize
+
+        if state.exists:
+            (cnt, t_names, t_counts, o_fp, o_coi, o_ri, frags, srcs) = state.get
+            # occurrence kept as a REAL (fp, coi, ri) tuple: python tuple
+            # comparison == Spark struct comparison (UTF-8 byte order for
+            # strings, numeric for ints) — a concatenated string key would
+            # mis-order when one file_path is a prefix of another
+            type_state = {
+                n: [c, (fp, coi, ri)]
+                for n, c, fp, coi, ri in zip(t_names, t_counts, o_fp, o_coi, o_ri)
+            }
+            frag_set, src_set = set(frags), set(srcs)
+        else:
+            cnt, type_state, frag_set, src_set = 0, {}, set(), set()
+        for pdf in pdfs:
+            cnt += len(pdf)
+            for t, d, s, fp, coi, ri in zip(
+                pdf["entity_type"], pdf["description"], pdf["source_id"],
+                pdf["file_path"], pdf["chunk_order_index"], pdf["record_idx"],
+            ):
+                occ = (fp, int(coi), int(ri))
+                if t in type_state:
+                    type_state[t][0] += 1
+                    type_state[t][1] = min(type_state[t][1], occ)
+                else:
+                    type_state[t] = [1, occ]
+                frag_set.add(d)
+                src_set.add(s)
+        names = sorted(type_state)
+        state.update((
+            cnt,
+            names,
+            [type_state[n][0] for n in names],
+            [type_state[n][1][0] for n in names],
+            [type_state[n][1][1] for n in names],
+            [type_state[n][1][2] for n in names],
+            sorted(frag_set),
+            sorted(src_set),
+        ))
+        winner = min(type_state.items(), key=lambda kv: (-kv[1][0], kv[1][1]))[0]
+        joined = "<SEP>".join(sorted(frag_set))
+        n_frag = joined.count("<SEP>") + 1
+        desc = (
+            stub_summarize(joined)
+            if n_frag > 1 and n_frag >= summary_threshold
+            else joined
+        )
+        yield pd.DataFrame(
+            [{
+                "entity_id": key[0],
+                "entity_type": winner,
+                "description": desc,
+                "description_frags": sorted(frag_set),
+                "source_ids": sorted(src_set),
+                "mention_count": cnt,
+            }]
+        )
+
+    return ents.groupBy("entity_name").applyInPandasWithState(
+        _update,
+        outputStructType=ENTITY_OUT_SCHEMA,
+        stateStructType=ENTITY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,

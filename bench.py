@@ -45,7 +45,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- part 1: KG pipeline throughput ---
-    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    # stage outputs on tmpfs when available — same convention as
+    # scripts/scaling_bench.py (at cluster scale the stage store is a
+    # distributed filesystem whose bandwidth scales with the cluster;
+    # local-disk write throughput is not the thing under test)
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_", dir=tmp_base)
     pages = gen_pages_df(spark, N_PAGES, seed=42, partitions=max(CPUS, 16))
     t0 = time.time()
     res = run_pipeline(

@@ -82,3 +82,58 @@ def test_media_feature_extraction(spark):
     # determinism
     feats2 = {r["media_id"]: r["feature"] for r in extract_media_features(media).collect()}
     assert all(feats2[r["media_id"]] == r["feature"] for r in feats)
+
+
+def test_streaming_entity_merge_stateful_matches_batch(spark, tmp_path):
+    """applyInPandasWithState entity merge: state folded across multiple
+    micro-batches must equal the batch merge (M2-M6) on the same pages —
+    arrival order independence via the carried occurrence key."""
+    from aperag_spark.operators.chunking import chunk_texts, extract_texts
+    from aperag_spark.operators.extraction import extract_mentions, split_mentions
+    from aperag_spark.operators.merge import merge_entities
+    from aperag_spark.streaming.stream import (
+        read_pages_stream,
+        streaming_entity_merge,
+        streaming_mentions,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    pages = gen_pages_df(spark, 60, seed=11, partitions=6)
+    pages.write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = (
+        streaming_entity_merge(streaming_mentions(stream))
+        .writeStream.format("memory")
+        .queryName("entstate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("select * from entstate").collect()
+    assert len(updates) > 0
+    # several micro-batches ran: at least one hot entity emitted >1 update
+    from collections import Counter
+
+    per_entity = Counter(r["entity_id"] for r in updates)
+    assert max(per_entity.values()) > 1
+    # final state per entity = the update with the highest mention_count
+    final = {}
+    for r in updates:
+        cur = final.get(r["entity_id"])
+        if cur is None or r["mention_count"] > cur["mention_count"]:
+            final[r["entity_id"]] = r
+
+    batch_pages = spark.read.parquet(pages_dir)
+    raw_e, _ = split_mentions(extract_mentions(chunk_texts(extract_texts(batch_pages))))
+    batch = {r["entity_id"]: r for r in merge_entities(raw_e).collect()}
+
+    assert set(final) == set(batch)
+    for eid, b in batch.items():
+        s = final[eid]
+        assert s["mention_count"] == b["mention_count"], eid
+        assert s["entity_type"] == b["entity_type"], eid
+        assert s["description"] == b["description"], eid
+        assert s["source_ids"] == sorted(b["source_ids"]), eid
+        assert s["description_frags"] == sorted(b["description_frags"]), eid
