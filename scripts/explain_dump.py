@@ -44,7 +44,12 @@ def main() -> None:
     for name in [
         "kg_top_entities",
         "dedup_minhash_candidates",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
         "sim_topk",
+        "sim_neardup_lsh",
+        "fulltext_bm25",
+        "flow_merge",
         "tpch_pricing",
         "top_customers",
     ]:

@@ -73,3 +73,42 @@ def test_relational_query_stays_in_codegen(spark):
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan  # shipdate predicate reaches the scan
     assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_bucketed_graph_tables_join_without_shuffle(spark, tmp_path):
+    """100TB co-location strategy: the persisted graph tables bucketed by
+    their join key let every downstream entity⋈relation join skip the
+    exchange entirely. Evidence: the bucketed-join plan contains NO
+    Exchange on the bucketed side (SortMergeJoin reads buckets in place)."""
+    import pyspark.sql.functions as F
+
+    # (warehouse dir is a static conf — tables land in the session default
+    # and are dropped in the finally block)
+    spark.sql("DROP TABLE IF EXISTS ent_b")
+    spark.sql("DROP TABLE IF EXISTS deg_b")
+    n = 10_000
+    ents = spark.range(n).select(
+        F.concat(F.lit("E"), F.col("id")).alias("entity_id"),
+        (F.col("id") % 7).alias("entity_type_code"),
+    )
+    deg = spark.range(n).select(
+        F.concat(F.lit("E"), F.col("id")).alias("entity_id"),
+        (F.col("id") % 100).alias("degree"),
+    )
+    ents.write.bucketBy(8, "entity_id").sortBy("entity_id").saveAsTable("ent_b")
+    deg.write.bucketBy(8, "entity_id").sortBy("entity_id").saveAsTable("deg_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ent_b").join(spark.table("deg_b"), "entity_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucket co-location: no shuffle
+        assert joined.count() == n
+        # contrast: the same join over unbucketed data shuffles both sides
+        plain = ents.join(deg, "entity_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ent_b")
+        spark.sql("DROP TABLE IF EXISTS deg_b")
