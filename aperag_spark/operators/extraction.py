@@ -107,6 +107,7 @@ def extract_mentions_fused(
     chunk_token_size: int = 1200,
     overlap_token_size: int = 100,
     extractor=deterministic_extract,
+    max_gleaning: int = 0,
 ) -> DataFrame:
     """Fused narrow pipeline: pages → mentions in ONE mapInArrow — the
     manual operator fusion SURVEY.md §4 anticipates. Everything is per-page
@@ -160,9 +161,16 @@ def extract_mentions_fused(
                     )
                     seen_ids[cid] = ch
                 for chunk_id, ch in seen_ids.items():
-                    entities, relations = parse_extraction_result(
-                        extractor(ch["content"])
-                    )
+                    if max_gleaning > 0:
+                        from aperag_spark.textproc import extract_with_gleaning
+
+                        entities, relations = extract_with_gleaning(
+                            ch["content"], max_gleaning=max_gleaning, extractor=extractor
+                        )
+                    else:
+                        entities, relations = parse_extraction_result(
+                            extractor(ch["content"])
+                        )
                     rec_idx = 0
                     for e in entities:
                         out["kind"].append("entity")

@@ -220,6 +220,86 @@ def streaming_entity_merge(mentions_stream: DataFrame, summary_threshold: int = 
     )
 
 
+RELATION_STATE_SCHEMA = (
+    "weight double, description_frags array<string>, keywords array<string>, "
+    "source_ids array<string>"
+)
+
+RELATION_OUT_SCHEMA = (
+    "src_id string, tgt_id string, weight double, description string, "
+    "keywords string, source_ids array<string>"
+)
+
+
+def streaming_relation_merge(mentions_stream: DataFrame, summary_threshold: int = 10) -> DataFrame:
+    """Stateful streaming edge merge — the relation counterpart of
+    streaming_entity_merge, with batch-identical M8-M9 semantics
+    (operators/merge.merge_relations): canonical (least, greatest) pair key
+    (operate.py:553-555), weight SUM (operate.py:406), sorted-set
+    description fragments with the SEP-count summary trigger
+    (operate.py:313-316,406-429), comma-split keyword union, source-id set
+    union. Emits the refreshed merged edge per micro-batch touch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rels = mentions_stream.where(F.col("kind") == "relation").select(
+        F.least("src_id", "tgt_id").alias("src_id"),
+        F.greatest("src_id", "tgt_id").alias("tgt_id"),
+        "weight",
+        "description",
+        "keywords",
+        "source_id",
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        from aperag_spark.textproc import stub_summarize
+
+        if state.exists:
+            (weight, frags, kws, srcs) = state.get
+            frag_set, kw_set, src_set = set(frags), set(kws), set(srcs)
+        else:
+            weight, frag_set, kw_set, src_set = 0.0, set(), set(), set()
+        for pdf in pdfs:
+            for w, d, k, s in zip(
+                pdf["weight"], pdf["description"], pdf["keywords"], pdf["source_id"]
+            ):
+                weight += float(w)
+                if d:
+                    frag_set.add(d)
+                for kw in str(k or "").split(","):
+                    kw = kw.strip()
+                    if kw:
+                        kw_set.add(kw)
+                if s:
+                    src_set.add(s)
+        state.update((weight, sorted(frag_set), sorted(kw_set), sorted(src_set)))
+        joined = "<SEP>".join(sorted(frag_set))
+        n_frag = joined.count("<SEP>") + 1
+        desc = (
+            stub_summarize(joined)
+            if n_frag > 1 and n_frag >= summary_threshold
+            else joined
+        )
+        yield pd.DataFrame(
+            [{
+                "src_id": key[0],
+                "tgt_id": key[1],
+                "weight": weight,
+                "description": desc,
+                "keywords": ",".join(sorted(kw_set)),
+                "source_ids": sorted(src_set),
+            }]
+        )
+
+    return rels.groupBy("src_id", "tgt_id").applyInPandasWithState(
+        _update,
+        outputStructType=RELATION_OUT_SCHEMA,
+        stateStructType=RELATION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,

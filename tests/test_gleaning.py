@@ -63,3 +63,26 @@ def test_gleaning_parity_spark_vs_port(spark):
     assert {n for n in port_names if n.startswith("Gleaned Body")} == {
         n for n in spark_names if n.startswith("Gleaned Body")
     }
+
+
+def test_gleaning_fused_matches_staged(spark):
+    """The fused mapInArrow path must honor max_gleaning identically to the
+    staged path (same acceptance rules inside the same UDF loop)."""
+    from aperag_spark.operators.chunking import chunk_texts, extract_texts
+    from aperag_spark.operators.extraction import extract_mentions_fused
+    from aperag_spark.synth import PAGES_SCHEMA, gen_pages_local
+
+    pages = spark.createDataFrame(gen_pages_local(12, seed=5), schema=PAGES_SCHEMA)
+    staged = extract_mentions(
+        chunk_texts(extract_texts(pages)), max_gleaning=1
+    ).collect()
+    fused = extract_mentions_fused(pages, max_gleaning=1).collect()
+    key = lambda r: (r["source_id"], r["record_idx"])
+    assert sorted(map(str, sorted(staged, key=key))) == sorted(
+        map(str, sorted(fused, key=key))
+    )
+    # gleaned entities actually present (the loop ran)
+    assert any(
+        r["kind"] == "entity" and (r["entity_name"] or "").startswith("Gleaned Body")
+        for r in fused
+    )

@@ -95,3 +95,78 @@ def test_semantic_splitter_fits_and_covers(s, size, overlap):
         # every chunk is a substring of the input (overlap may duplicate, but
         # nothing is invented)
         assert all(c in s for c in chunks)
+
+# --- round 2: BPE engine + markdown parser invariants ---
+
+import base64
+
+
+def _full_byte_ranks():
+    ranks = {bytes([b]): b for b in range(256)}
+    # a few arbitrary merges on top
+    for i, tok in enumerate([b"th", b"the", b"in", b"ing", b"  "]):
+        ranks[tok] = 256 + i
+    return ranks
+
+
+_BPE = None
+
+
+def _bpe():
+    global _BPE
+    if _BPE is None:
+        from aperag_spark.bpe import BpeEncoding
+
+        _BPE = BpeEncoding(_full_byte_ranks())
+    return _BPE
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_bpe_roundtrip_lossless(s):
+    """With all 256 byte tokens in the vocab, decode(encode(x)) == x for
+    ANY unicode text — the invariant chunking_by_token_size rests on."""
+    enc = _bpe()
+    assert enc.decode(enc.encode(s)) == s
+
+
+@given(st.binary(min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_bpe_merge_partition_property(piece):
+    """bpe_merge output always re-concatenates to the input bytes and every
+    part is a vocab token."""
+    from aperag_spark.bpe import bpe_merge
+
+    ranks = _full_byte_ranks()
+    toks = bpe_merge(piece, ranks)
+    inv = {v: k for k, v in ranks.items()}
+    assert b"".join(inv[t] for t in toks) == piece
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_markdown_parser_never_crashes(s):
+    """parse_md is total: any text yields a Part stream with the Markdown
+    part first, valid kinds, and title levels in 1..6."""
+    from aperag_spark.docparser import parse_md
+
+    parts = parse_md(s)
+    assert parts and parts[0]["kind"] == "markdown"
+    for p in parts:
+        assert p["kind"] in {"markdown", "asset", "title", "text", "code"}
+        if p["kind"] == "title":
+            assert 1 <= p["level"] <= 6
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_markdown_fence_preserves_code_verbatim(body):
+    """A fenced block's inner lines survive parsing verbatim (modulo the
+    documented strip) inside the rendered CodePart."""
+    from aperag_spark.docparser import parse_md
+
+    md = f"```\n{body}\n```"
+    code = [p for p in parse_md(md) if p["kind"] == "code"]
+    assert len(code) == 1
+    inner = code[0]["content"].split("\n")[1:-1]
+    assert "\n".join(inner) == body.strip()

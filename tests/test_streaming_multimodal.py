@@ -137,3 +137,49 @@ def test_streaming_entity_merge_stateful_matches_batch(spark, tmp_path):
         assert s["description"] == b["description"], eid
         assert s["source_ids"] == sorted(b["source_ids"]), eid
         assert s["description_frags"] == sorted(b["description_frags"]), eid
+
+
+def test_streaming_relation_merge_stateful_matches_batch(spark, tmp_path):
+    """Relation-side stateful merge across micro-batches equals the batch
+    M8-M9 aggregation (weight sum, frag set, keyword union, source union)."""
+    from aperag_spark.operators.chunking import chunk_texts, extract_texts
+    from aperag_spark.operators.extraction import extract_mentions, split_mentions
+    from aperag_spark.operators.merge import merge_relations
+    from aperag_spark.streaming.stream import (
+        read_pages_stream,
+        streaming_mentions,
+        streaming_relation_merge,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    gen_pages_df(spark, 60, seed=11, partitions=6).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = (
+        streaming_relation_merge(streaming_mentions(stream))
+        .writeStream.format("memory")
+        .queryName("relstate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("select * from relstate").collect()
+    final = {}
+    for r in updates:
+        k = (r["src_id"], r["tgt_id"])
+        cur = final.get(k)
+        if cur is None or r["weight"] >= cur["weight"]:
+            final[k] = r
+
+    batch_pages = spark.read.parquet(pages_dir)
+    _, raw_r = split_mentions(extract_mentions(chunk_texts(extract_texts(batch_pages))))
+    batch = {(r["src_id"], r["tgt_id"]): r for r in merge_relations(raw_r).collect()}
+
+    assert set(final) == set(batch)
+    for k, b in batch.items():
+        s = final[k]
+        assert abs(s["weight"] - b["weight"]) < 1e-9, k
+        assert s["description"] == b["description"], k
+        assert sorted(s["keywords"].split(",")) == sorted(b["keywords"].split(",")), k
+        assert s["source_ids"] == sorted(x for x in b["source_ids"]), k
