@@ -300,6 +300,79 @@ def streaming_relation_merge(mentions_stream: DataFrame, summary_threshold: int 
     )
 
 
+def run_incremental_graph_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    workspace: str = "",
+    max_files_per_trigger: int = 8,
+):
+    """Production-shape continuous indexing: foreachBatch folds each mention
+    micro-batch into the persistent entities/relations snapshot with the
+    M7 incremental merge (operators/incremental.py — the reference's
+    merge-with-existing upsert, operate.py:279-429), exactly once.
+
+    Exactly-once mechanics: Spark's checkpoint WAL gives at-least-once
+    foreachBatch invocations with a monotone batch_id; the fold is made
+    idempotent by versioned snapshot directories + an atomically-renamed
+    LATEST pointer recording the applied batch_id — a replayed batch sees
+    its own id already applied and skips (the Spark form of the reference
+    reconciler's CAS, reconciler.py:101-169)."""
+    import json
+    import os
+
+    from aperag_spark.operators.extraction import split_mentions
+    from aperag_spark.operators.incremental import (
+        merge_entities_incremental,
+        merge_relations_incremental,
+    )
+    from aperag_spark.operators.merge import merge_entities, merge_relations
+
+    os.makedirs(out_dir, exist_ok=True)
+    pointer = os.path.join(out_dir, "LATEST")
+
+    def _read_pointer():
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return json.load(f)
+
+    def _fold(batch_df, batch_id: int):
+        prev = _read_pointer()
+        if prev is not None and batch_id <= prev["batch_id"]:
+            return  # replayed batch after restart: already applied
+        raw_e, raw_r = split_mentions(batch_df)
+        if prev is None:
+            ents = merge_entities(raw_e)
+            rels = merge_relations(raw_r)
+        else:
+            ex_e = spark.read.parquet(prev["entities"])
+            ex_r = spark.read.parquet(prev["relations"])
+            ents = merge_entities_incremental(raw_e, ex_e)
+            rels = merge_relations_incremental(raw_r, ex_r)
+        e_path = os.path.join(out_dir, f"entities_v{batch_id}")
+        r_path = os.path.join(out_dir, f"relations_v{batch_id}")
+        ents.write.mode("overwrite").parquet(e_path)
+        rels.drop("first_occ").write.mode("overwrite").parquet(r_path)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "entities": e_path, "relations": r_path}, f)
+        os.replace(tmp, pointer)  # atomic pointer swing = the commit point
+
+    mentions = streaming_mentions(
+        read_pages_stream(spark, pages_dir, max_files_per_trigger), workspace
+    )
+    q = (
+        mentions.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_pointer()
+
+
 def run_stream_to_table(
     spark: SparkSession,
     pages_dir: str,
