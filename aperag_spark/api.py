@@ -1,0 +1,179 @@
+"""User-facing facade: the reference's `LightRAG` surface (insert / query /
+delete / edit / export — aperag/graph/lightrag/lightrag.py) re-expressed
+over the Spark operator library. A user of the reference drives their
+workflow through these same verbs:
+
+    engine = KGEngine(spark, out_dir)
+    engine.insert(pages_df)                       # ainsert, lightrag.py:571-687
+    ctx = engine.query("q", mode="hybrid")        # aquery,  lightrag.py:840-884
+    engine.fulltext_search(["kw1", "kw2"])        # fulltext_index.py:198-233
+    engine.delete_documents([url])                # adelete_by_doc_id, :889-1015
+    engine.rename_entity("A", "B")                # aedit_entity, utils_graph.py:150-252
+    engine.export_for_kg_eval()                   # lightrag.py:1128-1280
+
+Everything returns DataFrames (lazy plans); nothing collects to the driver.
+The graph tables live as checkpointed pipeline stages under `out_dir`
+(resumable — plans/pipeline.py); vdbs and the fulltext index are derived
+lazily and cached per instance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class KGEngine:
+    def __init__(self, spark: SparkSession, out_dir: str, workspace: str = ""):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.workspace = workspace
+        self._tables: dict[str, DataFrame] = {}
+        self._vdbs: dict[str, DataFrame] = {}
+        self._ft_index = None
+
+    # -- indexing ---------------------------------------------------------
+
+    def insert(self, pages: DataFrame, input_fingerprint: str = "") -> dict:
+        """Index a pages batch end-to-end (extract → chunk → extract triples
+        → merge → link → canonicalize), materializing resumable stages.
+        Repeated calls with the same fingerprint resume/no-op."""
+        from aperag_spark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            self.spark,
+            pages,
+            self.out_dir,
+            workspace=self.workspace,
+            input_fingerprint=input_fingerprint,
+        )
+        self._tables = dict(res)
+        self._vdbs.clear()
+        self._ft_index = None
+        return {k: v for k, v in res.items()}
+
+    def _table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            from aperag_spark.plans.pipeline import _read_stage
+
+            self._tables[name] = _read_stage(self.spark, self.out_dir, name)
+        return self._tables[name]
+
+    @property
+    def entities(self) -> DataFrame:
+        return self._table("entities_canonical")
+
+    @property
+    def relations(self) -> DataFrame:
+        return self._table("relations_canonical")
+
+    @property
+    def chunks(self) -> DataFrame:
+        return self._table("chunks")
+
+    # -- retrieval --------------------------------------------------------
+
+    def _vdb(self, kind: str) -> DataFrame:
+        if kind not in self._vdbs:
+            from aperag_spark.operators.vectors import (
+                embed_column,
+                entity_vdb,
+                relation_vdb,
+            )
+            import pyspark.sql.functions as F
+
+            if kind == "entity":
+                df = entity_vdb(self.entities)
+            elif kind == "relation":
+                df = relation_vdb(self.relations)
+            else:  # chunk vdb — V5/Q9 shape
+                df = embed_column(
+                    self.chunks.select(F.col("chunk_id").alias("id"), "content"),
+                    "content",
+                )
+            self._vdbs[kind] = df.localCheckpoint()
+        return self._vdbs[kind]
+
+    def query(
+        self,
+        text: str,
+        mode: str = "global",
+        top_k: int = 60,
+        token_budget: int = 4000,
+    ) -> dict:
+        """All six reference modes (base.py:66-73). Returns the context
+        frames ({'entities','relations','chunks'[, 'prompt']}) — the
+        only_need_context=True form; the LLM response step is out of scope
+        by design (the context IS the retrieval system's output)."""
+        from aperag_spark.operators.context import kg_query_context
+
+        return kg_query_context(
+            text,
+            mode,
+            self.entities,
+            self.relations,
+            self.chunks,
+            self._vdb("entity"),
+            self._vdb("relation"),
+            top_k=top_k,
+            token_budget=token_budget,
+            chunk_vdb_df=self._vdb("chunk") if mode in ("naive", "mix") else None,
+        )
+
+    def fulltext_search(self, keywords: list[str], topk: int = 3) -> DataFrame:
+        from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
+
+        if self._ft_index is None:
+            idx = build_fulltext_index(self.chunks, id_col="chunk_id", text_col="content")
+            self._ft_index = {k: v.localCheckpoint() for k, v in idx.items()}
+        return bm25_search(self._ft_index, keywords, topk=topk)
+
+    # -- maintenance ------------------------------------------------------
+
+    def delete_documents(self, urls: list[str]) -> None:
+        """Unindex pages by url: re-aggregate from surviving mentions and
+        re-link (adelete_by_doc_id, lightrag.py:889-1015)."""
+        from aperag_spark.operators.linking import build_alias_map, canonicalize
+        from aperag_spark.operators.maintenance import delete_documents
+
+        entities, relations = delete_documents(self._table("mentions"), urls)
+        alias_map = build_alias_map(entities)
+        ents_c, rels_c = canonicalize(entities, relations, alias_map)
+        self._tables["entities_canonical"] = ents_c.localCheckpoint()
+        self._tables["relations_canonical"] = rels_c.localCheckpoint()
+        self._vdbs.clear()
+        self._ft_index = None
+
+    def rename_entity(self, old_name: str, new_name: str) -> None:
+        from aperag_spark.operators.maintenance import rename_entity
+
+        ents, rels = rename_entity(self.entities, self.relations, old_name, new_name)
+        self._tables["entities_canonical"] = ents.localCheckpoint()
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    def delete_entity(self, name: str) -> None:
+        from aperag_spark.operators.maintenance import delete_entity
+
+        ents, rels = delete_entity(self.entities, self.relations, name)
+        self._tables["entities_canonical"] = ents.localCheckpoint()
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    # -- export / introspection -------------------------------------------
+
+    def export_for_kg_eval(self, sample_size: int = 100_000, include_source_texts: bool = True) -> dict:
+        from aperag_spark.operators.export import export_for_kg_eval
+
+        return export_for_kg_eval(
+            self.entities,
+            self.relations,
+            self.chunks if include_source_texts else None,
+            sample_size=sample_size,
+            include_source_texts=include_source_texts,
+        )
+
+    def get_knowledge_graph(self, seed: str, max_depth: int = 3, max_nodes: int = 1000) -> DataFrame:
+        """BFS subgraph around a label (base.py:525-538)."""
+        from aperag_spark.operators.graph_query import bfs_subgraph
+
+        return bfs_subgraph(self.relations, seed, max_depth=max_depth, max_nodes=max_nodes)
