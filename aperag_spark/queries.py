@@ -1010,6 +1010,118 @@ FROM ws
 """
 
 
+QF_MIN_TOKENS, QF_MAX_TOKENS = 15, 5000
+QF_MIN_STOPWORD = 0.01
+QF_MIN_DISTINCT_RATIO = 0.2
+QF_TOKEN_LEN_RANGE = (2.0, 12.0)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style corpus quality gate (Rae et al. 2021 §A1.1, public):
+    per-doc keep/drop with machine-readable reasons — length window,
+    stopword floor, repetition (distinct-token ratio), mean token length
+    window. One narrow projection over text_stats' expressions; at 100 TB
+    this is the canonical pre-training filter pass (scan-bound, no
+    shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(ws)
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(ws)) / n_tokens
+    tok_len = F.length("text") / n_tokens
+    checks = [
+        ("too_short", n_tokens < QF_MIN_TOKENS),
+        ("too_long", n_tokens > QF_MAX_TOKENS),
+        ("low_stopword", stop_ratio < QF_MIN_STOPWORD),
+        ("repetitive", distinct_ratio < QF_MIN_DISTINCT_RATIO),
+        ("weird_token_len",
+         (tok_len < QF_TOKEN_LEN_RANGE[0]) | (tok_len > QF_TOKEN_LEN_RANGE[1])),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in checks]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH s AS (
+  SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_filter(w, x -> x IN {_SQL_STOPWORDS}))::DOUBLE / len(w) AS stop_ratio,
+         len(list_distinct(w))::DOUBLE / len(w) AS distinct_ratio,
+         length(text)::DOUBLE / len(w) AS tok_len
+  FROM s
+), r AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+           CASE WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long' END,
+           CASE WHEN stop_ratio < {QF_MIN_STOPWORD} THEN 'low_stopword' END,
+           CASE WHEN distinct_ratio < {QF_MIN_DISTINCT_RATIO} THEN 'repetitive' END,
+           CASE WHEN tok_len < {QF_TOKEN_LEN_RANGE[0]} OR tok_len > {QF_TOKEN_LEN_RANGE[1]}
+                THEN 'weird_token_len' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       len(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
+"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus-level rollup: doc count, token totals, exact interpolated
+    median/p90 of doc length, distinct-vocabulary size — the dataset-card
+    numbers.
+
+    Scale notes: vocab_size is a distributed explode→countDistinct (shuffle
+    on token, map-side partial), NOT a collect_list of per-doc vocabularies.
+    The percentiles are EXACT (for bit-wise oracle agreement) — exact
+    percentile buffers the value multiset through one aggregation path, so
+    at 100 TB swap to approx_percentile(·, ·, accuracy) and relax the oracle
+    to a tolerance; n_tokens-per-doc is one double per document, which keeps
+    exact viable far longer than it sounds."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    per_doc = docs.select(F.size(ws).cast("double").alias("n_tokens"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("median_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+    )
+    vocab = (
+        docs.select(F.explode(F.array_distinct(ws)).alias("tok"))
+        .agg(F.countDistinct("tok").cast("bigint").alias("vocab_size"))
+    )
+    return stats.crossJoin(vocab)
+
+
+ORACLE_CORPUS_STATS = """
+WITH s AS (
+  SELECT string_split_regex(text, '\\s+') AS w FROM documents
+), m AS (
+  SELECT len(w)::DOUBLE AS n_tokens, w FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+        FROM (SELECT unnest(w) AS tok FROM s)) AS vocab_size
+FROM m
+"""
+
+
 def q_lang_guess(spark, sf_dir, threshold: float = 0.04):
     """n-gram/stopword language-ID heuristic: English stopword hit rate →
     guess; reported against the labeled lang column."""
@@ -1334,6 +1446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_bm25": q_fulltext_bm25,
     "flow_merge": q_flow_merge,
     "text_stats": q_text_stats,
+    "quality_filter": q_quality_filter,
+    "corpus_stats": q_corpus_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
     "events_hourly": q_events_hourly,
@@ -1368,6 +1482,8 @@ ORACLES: dict[str, str] = {
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
     "flow_merge": ORACLE_FLOW_MERGE,
     "text_stats": ORACLE_TEXT_STATS,
+    "quality_filter": ORACLE_QUALITY_FILTER,
+    "corpus_stats": ORACLE_CORPUS_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
