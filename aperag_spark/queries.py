@@ -1267,6 +1267,87 @@ WHERE rn = 1
 """
 
 
+RRF_K = 60  # Cormack et al. SIGIR'09 constant
+RRF_TOPK = 10
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 leg + embedding-cosine leg fused with
+    Reciprocal Rank Fusion (score = Σ 1/(K+rank)) — the production form of
+    the reference's merge node when legs carry incomparable scores
+    (flow/runners/merge.py unions; RRF is the standard rank-level fusion).
+    Query = the fixed FT_KEYWORDS for the text leg and vector 0 for the
+    embedding leg; docs join embeddings on doc_id = vec_id. Both legs are
+    top-k'd before the (tiny) full-outer fuse — at 100 TB each leg is its
+    own index probe and the fusion touches 2k rows."""
+    from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, "doc_id", "text")
+    bm25 = bm25_search(idx, FT_KEYWORDS, topk=FT_TOPK).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("rank").alias("bm25_rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").cast("bigint").alias("doc_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    order = [F.desc("cosine"), F.asc("doc_id")]
+    w = Window.orderBy(*order)
+    vec = (
+        scored.orderBy(*order)
+        .limit(FT_TOPK)
+        .withColumn("vec_rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "vec_rank")
+    )
+    fused = bm25.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.when(F.col("bm25_rank").isNotNull(), F.lit(1.0) / (RRF_K + F.col("bm25_rank"))).otherwise(0.0)
+            + F.when(F.col("vec_rank").isNotNull(), F.lit(1.0) / (RRF_K + F.col("vec_rank"))).otherwise(0.0),
+            6,
+        ).alias("rrf_score"),
+    )
+    order2 = [F.desc("rrf_score"), F.asc("doc_id")]
+    w2 = Window.orderBy(*order2)
+    return (
+        fused.orderBy(*order2)
+        .limit(RRF_TOPK)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH bm25 AS ({ORACLE_FULLTEXT_BM25}),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         round(list_cosine_similarity(qv.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS vec_rank
+  FROM scored QUALIFY vec_rank <= {FT_TOPK}
+),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + b.rank), 0)
+             + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0), 6) AS rrf_score
+  FROM bm25 b FULL OUTER JOIN vec v ON b.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {RRF_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / time-series coverage (events + TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1445,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_neardup_lsh": q_sim_neardup_lsh,
     "fulltext_bm25": q_fulltext_bm25,
     "flow_merge": q_flow_merge,
+    "hybrid_rrf": q_hybrid_rrf,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "corpus_stats": q_corpus_stats,
@@ -1481,6 +1563,7 @@ ORACLES: dict[str, str] = {
     "sim_neardup_lsh": ORACLE_SIM_NEARDUP,
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
     "flow_merge": ORACLE_FLOW_MERGE,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
     "text_stats": ORACLE_TEXT_STATS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "corpus_stats": ORACLE_CORPUS_STATS,
