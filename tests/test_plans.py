@@ -112,3 +112,64 @@ def test_bucketed_graph_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ent_b")
         spark.sql("DROP TABLE IF EXISTS deg_b")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A lang-partitioned pages table + lang filter must prune partitions at
+    the scan (PartitionFilters), not read-then-filter — at 100 TB the lang
+    partition cuts the scan by the non-English fraction for free."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "pages_by_lang")
+    rows = [(f"u{i}", "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"), f"t{i}") for i in range(300)]
+    spark.createDataFrame(rows, "url string, lang string, text string").write.partitionBy(
+        "lang"
+    ).parquet(path)
+    df = spark.read.parquet(path).where(F.col("lang") == "en").select("url")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert df.count() == 100
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE skew-join: a head-entity hot key in a sort-merge join gets split
+    at runtime (the executed adaptive plan marks the join skew=true) — the
+    declared defense for head-entity joins at scale."""
+    import pyspark.sql.functions as F
+
+    # force SMJ (no broadcast) and make skew detection fire at test size
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.lit("HOT").alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(0, 2_000).select(
+            F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionByName(cold)
+        right = spark.createDataFrame(
+            [("HOT", 1)] + [(f"c{i}", i) for i in range(2_000)], "k string, v int"
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's queryExecution (count() would
+        # spawn a separate one whose adaptive plan we can't inspect)
+        n = len(joined.collect())
+        assert n == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
