@@ -373,6 +373,161 @@ QUALIFY cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+INC_SPLIT = 250  # batch A = doc_id < 250, batch B = rest
+
+
+def _word_entity_mentions(spark, sf_dir, lo: int, hi: int):
+    """documents slice → raw entity-mention rows in the KG mention schema:
+    word = entity_name, source column = entity_type (the vote signal),
+    'seen in doc N' = description fragment, fixed-width file_path so struct
+    occurrence comparison equals string comparison in the oracle."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(_words()).alias("pos", "mention"),
+        )
+        .where(F.length("mention") >= MIN_WORD_LEN)
+        .select(
+            F.col("mention").alias("entity_name"),
+            F.col("source").alias("entity_type"),
+            F.concat(F.lit("seen in doc "), F.col("doc_id")).alias("description"),
+            F.concat(F.lit("chunk-"), F.col("doc_id")).alias("source_id"),
+            F.format_string("doc-%06d", F.col("doc_id")).alias("file_path"),
+            F.lit(0).alias("chunk_order_index"),
+            F.col("pos").cast("int").alias("record_idx"),
+        )
+    )
+
+
+def q_kg_incremental_merge(spark, sf_dir):
+    """M7 merge-with-existing fold-in, ORACLE-CHECKED: batch A (doc_id <
+    {INC_SPLIT}) is merged into an `entities` snapshot, then batch B is
+    folded in with the REAL operators/incremental.merge_entities_incremental
+    — existing type counts as ONE vote appended after the new types
+    (operate.py:279-301), the existing RENDERED description folds in as ONE
+    fragment whose embedded '<SEP>'s still count toward the summary trigger
+    (operate.py:313-316), provenance unions (operate.py:285-310)."""
+    from aperag_spark.operators.incremental import merge_entities_incremental
+    from aperag_spark.operators.merge import merge_entities
+
+    a = _word_entity_mentions(spark, sf_dir, 0, INC_SPLIT)
+    b = _word_entity_mentions(spark, sf_dir, INC_SPLIT, 10**9)
+    existing = merge_entities(a)
+    out = merge_entities_incremental(b, existing)
+    return out.select(
+        F.col("entity_id").alias("mention"),
+        "entity_type",
+        "description",
+        F.col("mention_count").cast("bigint").alias("mention_count"),
+        F.array_join("source_ids", ",").alias("sources"),
+    )
+
+
+_SQL_INC_MENTIONS = f"""
+  SELECT mention, source AS t,
+         'seen in doc ' || doc_id AS description,
+         'chunk-' || doc_id AS source_id,
+         format('doc-{{:06d}}', doc_id) AS fp,
+         pos, doc_id
+  FROM (
+    SELECT doc_id, source, w[s] AS mention, CAST(s - 1 AS INT) AS pos
+    FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents),
+         unnest(generate_series(1, len(w))) AS g(s)
+  )
+  WHERE length(mention) >= {MIN_WORD_LEN}
+"""
+
+# occurrence key: fixed-width fp + '#' + zero-padded record index — string
+# min == Spark's struct(u, c, r) min because every fp has identical length
+_SQL_OCCK = "fp || '#' || lpad(CAST(pos AS VARCHAR), 10, '0')"
+
+ORACLE_KG_INCREMENTAL_MERGE = f"""
+WITH m AS ({_SQL_INC_MENTIONS}),
+a AS (SELECT * FROM m WHERE doc_id < {INC_SPLIT}),
+b AS (SELECT * FROM m WHERE doc_id >= {INC_SPLIT}),
+-- === snapshot from batch A (merge_entities semantics) ===
+a_type AS (
+  SELECT mention, t, count(*) AS cnt, min({_SQL_OCCK}) AS occk
+  FROM a GROUP BY mention, t
+),
+a_winner AS (
+  SELECT mention, t FROM (
+    SELECT mention, t, row_number() OVER (
+      PARTITION BY mention ORDER BY cnt DESC, occk) AS rn
+    FROM a_type) WHERE rn = 1
+),
+a_agg AS (
+  SELECT mention,
+         list_sort(list_distinct(array_agg(description))) AS frags,
+         list_sort(list_distinct(array_agg(source_id))) AS srcs,
+         count(*) AS cnt
+  FROM a GROUP BY mention
+),
+a_snap AS (
+  SELECT a_agg.mention, a_winner.t AS old_type,
+         CASE WHEN len(string_split(array_to_string(frags, '<SEP>'), '<SEP>')) > 1
+               AND len(string_split(array_to_string(frags, '<SEP>'), '<SEP>')) >= 10
+              THEN 'SUMMARY:' || substr(md5(array_to_string(frags, '<SEP>')), 1, 16)
+              ELSE array_to_string(frags, '<SEP>') END AS old_desc,
+         srcs AS old_srcs, cnt AS old_cnt
+  FROM a_agg JOIN a_winner ON a_agg.mention = a_winner.mention
+),
+-- === fold batch B into the snapshot (merge_entities_incremental) ===
+b_type AS (
+  SELECT mention, t, count(*) AS cnt, min({_SQL_OCCK}) AS occk
+  FROM b GROUP BY mention, t
+),
+votes AS (
+  SELECT mention, t, cnt, occk FROM b_type
+  UNION ALL
+  -- the existing type is ONE vote that loses ties to new (its occurrence
+  -- key sorts after every real one — chr(65535) > 'd')
+  SELECT mention, old_type, 1, chr(65535) FROM a_snap
+),
+votes_g AS (
+  SELECT mention, t, sum(cnt) AS cnt, min(occk) AS occk
+  FROM votes GROUP BY mention, t
+),
+winner AS (
+  SELECT mention, t AS voted_type FROM (
+    SELECT mention, t, row_number() OVER (
+      PARTITION BY mention ORDER BY cnt DESC, occk) AS rn
+    FROM votes_g) WHERE rn = 1
+),
+b_agg AS (
+  SELECT mention,
+         list_sort(list_distinct(array_agg(description))) AS frags,
+         list_sort(list_distinct(array_agg(source_id))) AS srcs,
+         count(*) AS cnt
+  FROM b GROUP BY mention
+),
+joined AS (
+  SELECT coalesce(b_agg.mention, a_snap.mention) AS mention,
+         list_sort(list_distinct(list_concat(
+           coalesce(b_agg.frags, []),
+           CASE WHEN a_snap.mention IS NULL THEN [] ELSE [a_snap.old_desc] END
+         ))) AS frags,
+         list_sort(list_distinct(list_concat(
+           coalesce(b_agg.srcs, []), coalesce(a_snap.old_srcs, [])
+         ))) AS srcs,
+         coalesce(b_agg.cnt, 0) + coalesce(a_snap.old_cnt, 0) AS mention_count
+  FROM b_agg FULL OUTER JOIN a_snap ON b_agg.mention = a_snap.mention
+)
+SELECT joined.mention, winner.voted_type AS entity_type,
+       CASE WHEN len(string_split(array_to_string(frags, '<SEP>'), '<SEP>')) > 1
+             AND len(string_split(array_to_string(frags, '<SEP>'), '<SEP>')) >= 10
+            THEN 'SUMMARY:' || substr(md5(array_to_string(frags, '<SEP>')), 1, 16)
+            ELSE array_to_string(frags, '<SEP>') END AS description,
+       CAST(mention_count AS BIGINT) AS mention_count,
+       array_to_string(srcs, ',') AS sources
+FROM joined JOIN winner ON joined.mention = winner.mention
+"""
+
+
 BFS_SEED = "spark"
 BFS_DEPTH = 2
 
@@ -1514,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_top_entities": q_kg_top_entities,
     "kg_bfs": q_kg_bfs,
     "kg_token_budget": q_kg_token_budget,
+    "kg_incremental_merge": q_kg_incremental_merge,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
@@ -1548,6 +1704,7 @@ ORACLES: dict[str, str] = {
     "kg_top_entities": ORACLE_KG_TOP_ENTITIES,
     "kg_bfs": ORACLE_KG_BFS,
     "kg_token_budget": ORACLE_KG_TOKEN_BUDGET,
+    "kg_incremental_merge": ORACLE_KG_INCREMENTAL_MERGE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
