@@ -528,6 +528,41 @@ FROM joined JOIN winner ON joined.mention = winner.mention
 """
 
 
+def q_kg_connected_components(spark, sf_dir):
+    """M1 connected components, ORACLE-CHECKED: the distributed hash-min +
+    pointer-jumping operator (operators/components.py — the alias-collapse
+    engine of M13) over a fragmented word graph (bigram edges restricted to
+    same-first-letter pairs → several components), vs a recursive-CTE
+    transitive closure with min-label in DuckDB. Component id = min node id
+    on both sides."""
+    from aperag_spark.operators.components import connected_components
+
+    edges = (
+        q_kg_relations(spark, sf_dir)
+        .where(F.substring("src", 1, 1) == F.substring("tgt", 1, 1))
+        .select("src", "tgt")
+    )
+    cc = connected_components(edges, src="src", dst="tgt")
+    return cc.select(F.col("node").alias("entity"), "component")
+
+
+ORACLE_KG_CONNECTED_COMPONENTS = """
+WITH RECURSIVE edges AS ({REL}),
+e2 AS (SELECT src, tgt FROM edges WHERE substr(src, 1, 1) = substr(tgt, 1, 1)),
+nodes AS (SELECT src AS n FROM e2 UNION SELECT tgt FROM e2),
+sym AS (SELECT src AS a, tgt AS b FROM e2 UNION SELECT tgt, src FROM e2),
+walk AS (
+  SELECT n AS node, n AS reach FROM nodes
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON w.reach = s.a
+)
+SELECT node AS entity, min(reach) AS component FROM walk GROUP BY node
+"""
+
+
+ORACLE_KG_CONNECTED_COMPONENTS = ORACLE_KG_CONNECTED_COMPONENTS.replace("{REL}", ORACLE_KG_RELATIONS)
+
+
 BFS_SEED = "spark"
 BFS_DEPTH = 2
 
@@ -1668,6 +1703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_degree": q_kg_node_degree,
     "kg_top_entities": q_kg_top_entities,
     "kg_bfs": q_kg_bfs,
+    "kg_connected_components": q_kg_connected_components,
     "kg_token_budget": q_kg_token_budget,
     "kg_incremental_merge": q_kg_incremental_merge,
     "dedup_exact": q_dedup_exact,
@@ -1703,6 +1739,7 @@ ORACLES: dict[str, str] = {
     "kg_node_degree": ORACLE_KG_NODE_DEGREE,
     "kg_top_entities": ORACLE_KG_TOP_ENTITIES,
     "kg_bfs": ORACLE_KG_BFS,
+    "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
     "kg_token_budget": ORACLE_KG_TOKEN_BUDGET,
     "kg_incremental_merge": ORACLE_KG_INCREMENTAL_MERGE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
