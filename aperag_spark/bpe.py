@@ -24,7 +24,6 @@ can never disagree.
 from __future__ import annotations
 
 import base64
-from functools import lru_cache
 
 # Published o200k_base pretokenizer pattern (tiktoken registry, public).
 O200K_PAT = "|".join(
@@ -80,13 +79,19 @@ class BpeEncoding:
         self._ranks = ranks
         self._pat = regex.compile(pat_str)
         self._decoder = {rank: token for token, rank in ranks.items()}
+        # Per-instance cache: a class-level lru_cache would key on self and
+        # pin every encoding instance alive for the executor's lifetime.
+        self._piece_cache: dict[bytes, tuple[int, ...]] = {}
 
-    @lru_cache(maxsize=65536)
     def _encode_piece(self, piece: bytes) -> tuple[int, ...]:
+        cached = self._piece_cache.get(piece)
+        if cached is not None:
+            return cached
         r = self._ranks.get(piece)
-        if r is not None:
-            return (r,)
-        return tuple(bpe_merge(piece, self._ranks))
+        toks = (r,) if r is not None else tuple(bpe_merge(piece, self._ranks))
+        if len(self._piece_cache) < 65536:
+            self._piece_cache[piece] = toks
+        return toks
 
     def encode(self, text: str) -> list[int]:
         out: list[int] = []

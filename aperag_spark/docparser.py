@@ -121,8 +121,17 @@ def _split_row(line: str) -> list[str]:
     return cells
 
 
-def _parse_blocks(lines: list[str]) -> list[dict]:
+# Defense-in-depth cap on quote/list recursion: past this depth the body is
+# emitted as a raw text part instead of recursing further. Real documents
+# never nest this deep; an adversarial one must not stall an executor task.
+_MAX_NEST_DEPTH = 64
+
+
+def _parse_blocks(lines: list[str], depth: int = 0) -> list[dict]:
     """lines → Part list (titles, text, code). Recursive for quotes/lists."""
+    if depth > _MAX_NEST_DEPTH:
+        text = "\n".join(lines).strip()
+        return [_part("text", text)] if text else []
     parts: list[dict] = []
     i, n = 0, len(lines)
     while i < n:
@@ -181,7 +190,7 @@ def _parse_blocks(lines: list[str]) -> list[dict]:
                 stripped = lines[i].lstrip()[1:]
                 inner.append(stripped[1:] if stripped.startswith(" ") else stripped)
                 i += 1
-            for p in _parse_blocks(inner):
+            for p in _parse_blocks(inner, depth + 1):
                 if p["kind"] in ("text", "title") and p["content"] is not None:
                     p["content"] = "\n".join(
                         "> " + ln for ln in p["content"].split("\n")
@@ -193,8 +202,8 @@ def _parse_blocks(lines: list[str]) -> list[dict]:
         # lists — parse_md.py:309-377
         mb, mo = _BULLET_RE.match(line), _ORDERED_RE.match(line)
         if (mb and len(mb.group(1)) < 4) or (mo and len(mo.group(1)) < 4):
-            parts.extend(_parse_list(lines, i)[0])
-            i = _parse_list(lines, i)[1]
+            sub, i = _parse_list(lines, i, depth)
+            parts.extend(sub)
             continue
 
         # GFM table — parse_md.py:393-430: one TextPart, cells escaped,
@@ -253,7 +262,7 @@ def _parse_blocks(lines: list[str]) -> list[dict]:
     return parts
 
 
-def _parse_list(lines: list[str], start: int) -> tuple[list[dict], int]:
+def _parse_list(lines: list[str], start: int, depth: int = 0) -> tuple[list[dict], int]:
     """Parse one (possibly nested) list starting at lines[start].
 
     Rendering — parse_md.py:323-377: the item's first text part gets the
@@ -326,7 +335,7 @@ def _parse_list(lines: list[str], start: int) -> tuple[list[dict], int]:
                 break  # de-dented: list ends
             body.append(ln[min(item_indent, ind):] if ind >= item_indent else ln.lstrip())
             i += 1
-        item_parts = _parse_blocks(body)
+        item_parts = _parse_blocks(body, depth + 1)
         for p in item_parts:
             p["nesting"] += 1  # list bodies are nested (parse_md.py:316-321)
         if not item_parts:

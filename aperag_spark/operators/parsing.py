@@ -41,7 +41,7 @@ def parse_pages(
             for url, data in zip(pdf[path_col], pdf[data_col]):
                 try:
                     parts = parse_document(str(url), bytes(data))
-                except NotImplementedError as ex:
+                except Exception as ex:  # noqa: BLE001 — quarantine, never fail the stage
                     rows.append(
                         {
                             "url": url, "part_index": 0, "kind": "error",

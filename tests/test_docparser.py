@@ -151,3 +151,45 @@ def test_parse_pages_operator(spark):
     assert md[1]["content"] == "# T" and md[1]["level"] == 1
     # poisoned format degrades to an error row, batch survives
     assert by_url["https://a/z.pdf"][0]["kind"] == "error"
+
+
+def test_parse_pages_generic_crash_quarantined(spark):
+    """A parser crash that is NOT NotImplementedError must also degrade to an
+    error row instead of killing the stage (ADVICE r2): a NULL html payload
+    raises TypeError inside the parse closure."""
+    from aperag_spark.operators.parsing import parse_pages
+
+    rows = [
+        ("https://a/ok.md", bytearray(b"fine")),
+        ("https://a/null.html", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = parse_pages(pages).collect()
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    assert any(r["kind"] == "text" for r in by_url["https://a/ok.md"])
+    bad = by_url["https://a/null.html"]
+    assert len(bad) == 1 and bad[0]["kind"] == "error" and bad[0]["content"]
+
+
+def test_deep_nested_list_parses_linearly():
+    """ADVICE r2 (high): _parse_list was invoked twice per list head, doubling
+    work per nesting level — 22 nested bullets already exceeded 20s. Must be
+    linear now: 48 levels parse instantly and render the deepest item."""
+    import time
+
+    md = "\n".join("  " * i + f"- item{i}" for i in range(48))
+    t0 = time.monotonic()
+    parts = parse_md(md)
+    assert time.monotonic() - t0 < 5.0
+    texts = [p["content"] or "" for p in parts if p["kind"] == "text"]
+    assert any("item47" in t for t in texts)
+
+
+def test_nesting_depth_cap_terminates():
+    """Past _MAX_NEST_DEPTH the body is emitted as raw text — an adversarial
+    200-deep blockquote must terminate and keep its content."""
+    md = ">" * 200 + " deep payload"
+    parts = parse_md(md)
+    assert any("deep payload" in (p["content"] or "") for p in parts if p["kind"] == "text")
