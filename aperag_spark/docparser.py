@@ -26,6 +26,7 @@ import base64
 import re
 from hashlib import md5
 from typing import Any
+from urllib.parse import quote_plus
 
 # --------------------------------------------------------------------------
 # Part constructors
@@ -34,40 +35,69 @@ from typing import Any
 
 def _part(kind: str, content: str | None, level: int = 0, lang: str | None = None,
           asset_id: str | None = None, mime_type: str | None = None,
-          data: bytes | None = None) -> dict[str, Any]:
+          data: bytes | None = None, url: str | None = None,
+          alt_text: str | None = None, title: str | None = None) -> dict[str, Any]:
     return {"kind": kind, "level": level, "content": content, "lang": lang,
             "asset_id": asset_id, "mime_type": mime_type, "data": data,
+            "url": url, "alt_text": alt_text, "title": title,
             "nesting": 0}
 
 
 # --------------------------------------------------------------------------
 # Data-URI image extraction — parse_md.py:31,46-71: every base64 data URI
-# becomes an AssetBinPart (asset_id = md5 of the bytes) and the markdown is
-# rewritten to reference the asset by id.
+# becomes an AssetBinPart (asset_id = md5 of the bytes) and the data URI
+# substring is replaced with the asset URL (alt text and title are kept —
+# parse_md.py:65-66 does text.replace(data_uri, asset_url)).
 # --------------------------------------------------------------------------
 
 DATA_URI_PATTERN = re.compile(
-    r"!\[(.*?)\]\(\s*(data:.+?;base64,.+?)(?:\s+\"(.*?)\")?\)"
+    r"!\[.*?\]\(\s*(data:.+?;base64,.+?)(?:\s+\"(.*?)\")?\)"
 )
+
+
+def _asset_url(asset_id: str, mime_type: str | None) -> str:
+    """utils.py:58-62 asset_bin_part_to_url: asset://id?mime_type=<quoted>."""
+    url = f"asset://{asset_id}"
+    if mime_type:
+        url += f"?mime_type={quote_plus(mime_type)}"
+    return url
 
 
 def extract_data_uri(text: str) -> tuple[str, list[dict]]:
     assets: list[dict] = []
-
-    def _sub(m: re.Match) -> str:
-        data_uri = m.group(2)
+    for m in DATA_URI_PATTERN.finditer(text):
+        data_uri = m.group(1)
         try:
             mime_type, encoded = data_uri.split("base64,")
             mime_type = mime_type[5:-1]  # strip 'data:' and trailing ';'
             binary = base64.b64decode(encoded)
         except Exception:
-            return m.group(0)  # malformed: leave untouched (parse_md.py:66-68)
+            continue  # malformed: leave untouched (parse_md.py:66-68)
         asset_id = md5(binary).hexdigest()
         assets.append(_part("asset", None, asset_id=asset_id,
                             mime_type=mime_type, data=binary))
-        return f"![{m.group(1)}](asset://{asset_id})"
+        text = text.replace(data_uri, _asset_url(asset_id, mime_type))
+    return text, assets
 
-    return DATA_URI_PATTERN.sub(_sub, text), assets
+
+# --------------------------------------------------------------------------
+# Inline image extraction — parse_md.py:167-192 _extract_image_parts: every
+# inline image inside paragraph/table content yields an ImagePart
+# (url, alt_text, title) appended AFTER the containing text part; images in
+# headings are dropped (heading handler keeps only the TitlePart,
+# parse_md.py:256-276), and table extraction is deferred until the whole
+# table is rendered (parse_md.py:393-407 PauseExtraction).
+# --------------------------------------------------------------------------
+
+_IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(\s*(\S+?)(?:\s+\"([^\"]*)\")?\s*\)")
+
+
+def _extract_images(text: str) -> list[dict]:
+    return [
+        _part("image", None, url=m.group(2), alt_text=m.group(1),
+              title=m.group(3))
+        for m in _IMAGE_RE.finditer(text)
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -82,6 +112,9 @@ _ORDERED_RE = re.compile(r"^( *)(\d{1,9})([.)])( +)(.*)$")
 _TABLE_DELIM_RE = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
 _SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)\s*$")
 _HTML_BLOCK_RE = re.compile(r"^ {0,3}<\w")
+_DEF_RE = re.compile(
+    r"^ {0,3}\[([^\]]+)\]:\s*(\S+)(?:\s+(?:\"([^\"]*)\"|\(([^)]*)\)))?\s*$"
+)
 
 
 def _to_code_content(code: str, lang: str | None = None) -> str:
@@ -176,9 +209,13 @@ def _parse_blocks(lines: list[str], depth: int = 0) -> list[dict]:
             i += 1
             continue
 
-        # hr — parse_md.py:287-293: TextPart with the markup itself
+        # hr — parse_md.py:287-293: TextPart with token.markup. markdown-it-py
+        # sets hr markup to marker*(cnt+1) ("---" → "----"); reproduced as the
+        # reference's own golden test (test_parse_md.py:167-174) requires it.
         if _HR_RE.match(line):
-            parts.append(_part("text", line.strip()))
+            marker = line.strip()[0]
+            cnt = line.count(marker)
+            parts.append(_part("text", marker * (cnt + 1)))
             i += 1
             continue
 
@@ -214,13 +251,30 @@ def _parse_blocks(lines: list[str], depth: int = 0) -> list[dict]:
             out = ["| " + " ".join(_escape_cell(c) + " |" for c in header).rstrip()]
             out[0] = "| " + " | ".join(_escape_cell(c) for c in header) + " |"
             out.append("|---" * ncol + "|")
+            src_rows = [line]
             i += 2
             while i < n and "|" in lines[i] and lines[i].strip():
+                src_rows.append(lines[i])
                 row = _split_row(lines[i])
                 row = (row + [""] * ncol)[:ncol]  # pad/trim to header width
                 out.append("| " + " | ".join(_escape_cell(c) for c in row) + " |")
                 i += 1
             parts.append(_part("text", "\n".join(out)))
+            # images in cells surface after the whole table (parse_md.py:398-407)
+            parts.extend(_extract_images("\n".join(src_rows)))
+            continue
+
+        # link-reference definition — parse_md.py:379-390 (_convert_definition
+        # under inline_definitions): one TextPart per definition, title
+        # normalized to the "(title)" form regardless of source quoting
+        m = _DEF_RE.match(line)
+        if m:
+            content = f"[{m.group(1)}]: {m.group(2)}"
+            title = m.group(3) or m.group(4)
+            if title:
+                content += f" ({title})"
+            parts.append(_part("text", content))
+            i += 1
             continue
 
         # html block — parse_md.py:295-301: raw passthrough
@@ -258,7 +312,10 @@ def _parse_blocks(lines: list[str], depth: int = 0) -> list[dict]:
             body.append(nxt.strip())
             i += 1
         if body:
-            parts.append(_part("text", "\n".join(body)))
+            text = "\n".join(body)
+            parts.append(_part("text", text))
+            # inline images ride after their paragraph (parse_md.py:281-285)
+            parts.extend(_extract_images(text))
     return parts
 
 
@@ -332,6 +389,21 @@ def _parse_list(lines: list[str], start: int, depth: int = 0) -> tuple[list[dict
             if nm and len(nm.group(1)) == base_indent:
                 break  # next sibling item
             if ind <= base_indent and not ln.startswith(" " * (base_indent + 1)):
+                # lazy continuation (CommonMark §5.2, markdown-it paragraph
+                # laziness): an unindented plain line directly after item
+                # paragraph text stays in the paragraph; block starters
+                # (heading/fence/hr/quote/list/setext) interrupt instead
+                if body and body[-1].strip() and not (
+                    nm
+                    or _ATX_RE.match(ln.strip())
+                    or _FENCE_RE.match(ln.strip())
+                    or _HR_RE.match(ln)
+                    or _SETEXT_RE.match(ln)
+                    or ln.lstrip().startswith(">")
+                ):
+                    body.append(ln.strip())
+                    i += 1
+                    continue
                 break  # de-dented: list ends
             body.append(ln[min(item_indent, ind):] if ind >= item_indent else ln.lstrip())
             i += 1

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 
 PARTS_SCHEMA = (
     "url string, part_index int, kind string, level int, nesting int, "
-    "content string, lang string, asset_id string, mime_type string, data binary"
+    "content string, lang string, asset_id string, mime_type string, data binary, "
+    "image_url string, alt_text string, title string"
 )
 
 _COLS = [c.split(" ")[0] for c in PARTS_SCHEMA.split(", ")]
@@ -47,7 +48,8 @@ def parse_pages(
                             "url": url, "part_index": 0, "kind": "error",
                             "level": 0, "nesting": 0, "content": str(ex),
                             "lang": None, "asset_id": None, "mime_type": None,
-                            "data": None,
+                            "data": None, "image_url": None, "alt_text": None,
+                            "title": None,
                         }
                     )
                     continue
@@ -64,6 +66,9 @@ def parse_pages(
                             "asset_id": p["asset_id"],
                             "mime_type": p["mime_type"],
                             "data": p["data"],
+                            "image_url": p.get("url"),
+                            "alt_text": p.get("alt_text"),
+                            "title": p.get("title"),
                         }
                     )
             yield pd.DataFrame(rows, columns=_COLS)
