@@ -459,21 +459,17 @@ def parts_for_rechunk(parts: list[dict]) -> list[dict]:
 
 
 # --------------------------------------------------------------------------
-# HTML parser — the MarkItDown stand-in (markitdown_parser.py:25-68 converts
-# HTML to markdown then parse_md's it). Our extractor recovers the paragraph
-# text stream (textproc.extract_text_from_html keeps the byte-identical
-# invariant); each paragraph becomes a TextPart.
+# HTML parser — the MarkItDown flow (markitdown_parser.py:64-68): convert
+# HTML to markdown (aperag_spark.htmlmd, same extractor as the KG path so
+# the byte-identical invariant holds), then parse_md the result into the
+# full Part stream (titles, tables, code, images).
 # --------------------------------------------------------------------------
 
 
 def parse_html(html_bytes: bytes) -> list[dict]:
     from aperag_spark.textproc import extract_text_from_html
 
-    text = extract_text_from_html(html_bytes)
-    md_part = _part("markdown", text)
-    return [md_part] + [
-        _part("text", block) for block in text.split("\n\n") if block.strip()
-    ]
+    return parse_md(extract_text_from_html(html_bytes))
 
 
 def parse_txt(data: bytes) -> list[dict]:

@@ -256,26 +256,22 @@ def chunking_by_token_size(
 
 
 # ---------------------------------------------------------------------------
-# HTML → text extraction. The reference converts HTML to markdown with
-# MarkItDown (aperag/docparser/markitdown_parser.py:25-68). The rebuild's
-# invariant (BASELINE.json input_hint) is byte-identical extracted text per
-# url, so the extractor is a deterministic pure function: it recovers the
-# paragraph text stream from the page markup.
+# HTML → markdown extraction. The reference converts HTML to markdown with
+# MarkItDown (aperag/docparser/markitdown_parser.py:25-68) and feeds the
+# markdown to parse_md. aperag_spark.htmlmd is the stdlib-only converter with
+# the same conventions (headings → '#', lists, links, GFM tables, fences);
+# the rebuild's invariant (BASELINE.json input_hint) is byte-identical
+# extracted text per url, so the converter is a deterministic pure function.
 # ---------------------------------------------------------------------------
-
-_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
-_TAG_RE = re.compile(r"<[^>]+>")
 
 
 def extract_text_from_html(html_bytes: bytes) -> str:
-    """Deterministic html→text: paragraph contents, entity-unescaped, joined
-    by blank lines. Falls back to tag-stripping for non-<p> markup."""
-    doc = html_bytes.decode("utf-8", errors="replace")
-    paras = _P_RE.findall(doc)
-    if paras:
-        return "\n\n".join(html.unescape(p) for p in paras)
-    body = _TAG_RE.sub(" ", doc)
-    return re.sub(r"[ \t]+", " ", html.unescape(body)).strip()
+    """Deterministic html→markdown: MarkItDown-convention conversion
+    (aperag_spark.htmlmd.html_to_markdown); <p>-only pages reduce to the
+    paragraph text stream joined by blank lines."""
+    from aperag_spark.htmlmd import html_to_markdown
+
+    return html_to_markdown(html_bytes.decode("utf-8", errors="replace"))
 
 
 # ---------------------------------------------------------------------------
