@@ -51,9 +51,19 @@ def rank_entities_local(
     )
 
 
-def one_hop_edges(seed_entities: DataFrame, relations: DataFrame) -> DataFrame:
-    """Q5: all edges touching the seed set, ordered by (edge degree, weight)
-    desc (operate.py:1465-1525). Seed set is small → broadcast."""
+def one_hop_edges(
+    seed_entities: DataFrame, relations: DataFrame, max_edges: int = 1000
+) -> DataFrame:
+    """Q5: edges touching the seed set, ordered by (edge degree, weight)
+    desc (operate.py:1465-1525). Seed set is small → broadcast.
+
+    Scale note: a hub seed can touch millions of edges, so the global
+    ordering is done with orderBy().limit(max_edges) — Spark compiles that
+    to TakeOrderedAndProject (per-partition partial top-K, no full sort, no
+    single-task window over the raw edge table). Only the ≤max_edges
+    survivors get the sequential `order` column; the reference truncates
+    this list by token budget right after (Q6, utils.py:252-266), so a
+    generous cap loses nothing."""
     seeds = F.broadcast(seed_entities.select("entity_id").distinct())
     touching = relations.join(
         seeds.withColumnRenamed("entity_id", "src_id"), "src_id", "left_semi"
@@ -69,8 +79,10 @@ def one_hop_edges(seed_entities: DataFrame, relations: DataFrame) -> DataFrame:
         .withColumn("rank", F.col("sd") + F.col("td"))  # edge_degree — G2
         .drop("sd", "td")
     )
-    w = Window.orderBy(F.desc("rank"), F.desc("weight"), F.asc("src_id"), F.asc("tgt_id"))
-    return ranked.withColumn("order", F.row_number().over(w))
+    order_cols = [F.desc("rank"), F.desc("weight"), F.asc("src_id"), F.asc("tgt_id")]
+    top = ranked.orderBy(*order_cols).limit(max_edges)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("order", F.row_number().over(w))
 
 
 def related_chunks(
