@@ -23,6 +23,8 @@ deterministic either way)."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -179,18 +181,75 @@ _QUERY_STOP = {
     "what", "which", "who", "how", "about", "with",
 }
 
+# prompt.py:239
+FAIL_RESPONSE = "Sorry, I'm not able to provide an answer to that question.[no-context]"
+
+_ENTITY_RUN_RE = re.compile(r"\b[A-Z][\w.&-]*(?: [A-Z][\w.&-]*)*")
+
 
 def extract_query_keywords(query_text: str, k: int = 8) -> list[str]:
-    """Q1 stand-in: the reference asks an LLM for high/low-level keywords
-    (operate.py:1002-1057); deterministically we take the top-k non-stopword
-    tokens by frequency (ties lexicographic) — same downstream contract:
-    a keyword list that seeds the vector lookups."""
+    """Flat keyword list: top-k non-stopword tokens by frequency (ties
+    lexicographic). Kept as the simple seeding primitive; the reference's
+    hl/ll JSON contract lives in deterministic_keyword_model +
+    parse_keywords_response."""
     from collections import Counter
 
     words = [w.lower().strip(".,;!?\"'") for w in query_text.split()]
     words = [w for w in words if w and w not in _QUERY_STOP]
     counts = Counter(words)
     return [w for w, _ in sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]]
+
+
+def deterministic_keyword_model(query_text: str) -> str:
+    """Q1 LLM stand-in (declared swap point): emits the reference's keyword
+    response contract — a JSON object {"high_level_keywords": [...],
+    "low_level_keywords": [...]} (prompt.py:275-320 keywords_extraction,
+    examples format) wrapped in prose, so the caller's `{.*}` extraction
+    does real work. Deterministic rule: low-level = capitalized entity-run
+    phrases in query order (specific entities/details); high-level =
+    remaining non-stopword tokens by (freq desc, lex) (themes/concepts)."""
+    import json
+
+    ll: list[str] = []
+    consumed: set[str] = set()
+    for m in _ENTITY_RUN_RE.finditer(query_text):
+        run = m.group(0).rstrip(".,;!?")
+        if run.lower() in _QUERY_STOP:
+            continue
+        if run not in ll:
+            ll.append(run)
+        consumed.update(w.lower() for w in run.split())
+    from collections import Counter
+
+    words = [w.lower().strip(".,;!?\"'") for w in query_text.split()]
+    words = [
+        w for w in words if w and w not in _QUERY_STOP and w not in consumed
+    ]
+    counts = Counter(words)
+    hl = [w for w, _ in sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:8]]
+    payload = json.dumps(
+        {"high_level_keywords": hl, "low_level_keywords": ll}
+    )
+    return f"Here are the extracted keywords:\n{payload}\n"
+
+
+def parse_keywords_response(result: str) -> tuple[list[str], list[str]]:
+    """operate.py:1043-1057: locate the JSON object with re.search(r"{.*}",
+    DOTALL); no match or a JSON decode error → ([], []) (the caller's
+    empty-keyword fallback rules then fire)."""
+    import json
+
+    match = re.search(r"\{.*\}", result, re.DOTALL)
+    if not match:
+        return [], []
+    try:
+        data = json.loads(match.group(0))
+    except json.JSONDecodeError:
+        return [], []
+    return (
+        data.get("high_level_keywords", []),
+        data.get("low_level_keywords", []),
+    )
 
 
 QUERY_MODES = ("local", "global", "hybrid", "naive", "mix", "bypass")
@@ -222,22 +281,50 @@ def kg_query_context(
                requires chunk_vdb_df
       bypass — no retrieval at all (lightrag.py:873-884 calls the LLM
                directly): empty context frames, prompt = the query itself
+
+    Graph modes run the reference's keyword contract first (operate.py:834-856):
+    the keyword model's JSON reply is parsed for high/low-level keywords;
+    both empty → fail response with empty frames; ll empty in local/hybrid →
+    switch to global; hl empty in global/hybrid → switch to local (mix is
+    exempt from both switches, exactly as the reference's mode lists say).
+    The low-level keywords seed the entity vdb (local leg) and the
+    high-level keywords seed the relation vdb (global leg)
+    (operate.py:1151-1186 _build_query_context_from_keywords).
+
+    The returned dict carries "mode" = the EFFECTIVE mode after fallback.
     """
-    kw_text = ", ".join(extract_query_keywords(query_text))
+    ll_text = hl_text = ""
+    if mode in ("local", "global", "hybrid", "mix"):
+        hl, ll = parse_keywords_response(deterministic_keyword_model(query_text))
+        if hl == [] and ll == []:
+            # operate.py:842-844: no keywords at all → fail response
+            return {
+                "entities": entities.limit(0).select("entity_id", "entity_type", "description"),
+                "relations": relations.limit(0).select("src_id", "tgt_id", "weight"),
+                "chunks": chunks.limit(0).select("chunk_id", "content"),
+                "prompt": FAIL_RESPONSE,
+                "mode": mode,
+            }
+        if ll == [] and mode in ("local", "hybrid"):
+            mode = "global"  # operate.py:845-850
+        if hl == [] and mode in ("global", "hybrid"):
+            mode = "local"  # operate.py:851-856
+        ll_text = ", ".join(ll)
+        hl_text = ", ".join(hl)
     if mode == "local":
         return build_local_context(
-            kw_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
-        )
+            ll_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
+        ) | {"mode": "local"}
     if mode == "global":
         return build_global_context(
-            kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
-        )
+            hl_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
+        ) | {"mode": "global"}
     if mode in ("hybrid", "mix"):
         lo = build_local_context(
-            kw_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
+            ll_text, entities, relations, chunks, entity_vdb_df, top_k, token_budget
         )
         gl = build_global_context(
-            kw_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
+            hl_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
         )
         chunk_sources = [
             lo["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
@@ -267,7 +354,7 @@ def kg_query_context(
         rels = lo["relations"].select("src_id", "tgt_id", "weight").unionByName(
             gl["relations"].select("src_id", "tgt_id", "weight")
         ).dropDuplicates(["src_id", "tgt_id"])
-        return {"entities": ents, "relations": rels, "chunks": chs}
+        return {"entities": ents, "relations": rels, "chunks": chs, "mode": mode}
     if mode == "naive":
         if chunk_vdb_df is None:
             raise ValueError("naive mode requires chunk_vdb_df (operate.py:1769)")
@@ -278,6 +365,7 @@ def kg_query_context(
             "entities": entities.limit(0).select("entity_id", "entity_type", "description"),
             "relations": relations.limit(0).select("src_id", "tgt_id", "weight"),
             "chunks": chs,
+            "mode": "naive",
         }
     if mode == "bypass":
         # no knowledge retrieval: the reference hands the raw query to the
@@ -287,6 +375,7 @@ def kg_query_context(
             "relations": relations.limit(0).select("src_id", "tgt_id", "weight"),
             "chunks": chunks.limit(0).select("chunk_id", "content"),
             "prompt": query_text,
+            "mode": "bypass",
         }
     raise ValueError(f"unknown mode: {mode} (expected one of {QUERY_MODES})")
 

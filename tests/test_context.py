@@ -82,7 +82,8 @@ def test_kg_query_modes(spark, graph):
     assert extract_query_keywords(q)[0] in {"acme0", "cloud", "corp", "energy", "known", "partnership"}
     for mode in ["local", "global", "hybrid"]:
         ctx = kg_query_context(q, mode, entities, relations, chunks, evdb, rvdb, top_k=10, token_budget=2000)
-        assert set(ctx) == {"entities", "relations", "chunks"}
+        assert set(ctx) == {"entities", "relations", "chunks", "mode"}
+        assert ctx["mode"] == mode  # q has both hl and ll keywords: no fallback
         assert ctx["entities"].count() > 0
     with pytest.raises(ValueError):
         kg_query_context(q, "bogus", entities, relations, chunks, evdb, rvdb)
@@ -149,3 +150,56 @@ def test_combine_contexts_dedupes_and_reids(spark):
     out = combine_contexts(a, b).collect()
     assert sorted(r["text"] for r in out) == ["x", "y", "z"]  # 'y' deduped
     assert sorted(r["id"] for r in out) == ["1", "2", "3"]  # re-assigned
+
+
+def test_keyword_json_contract():
+    """Q1: the stand-in model emits the reference's JSON response contract
+    and parse_keywords_response applies the {.*} regex + failure fallbacks
+    (operate.py:1043-1057)."""
+    from aperag_spark.operators.context import (
+        deterministic_keyword_model,
+        parse_keywords_response,
+    )
+
+    q = "What is Acme0 Corp known for in cloud energy partnership?"
+    reply = deterministic_keyword_model(q)
+    assert not reply.strip().startswith("{")  # prose wraps the JSON
+    hl, ll = parse_keywords_response(reply)
+    assert ll == ["Acme0 Corp"]  # capitalized entity run, stop-words excluded
+    assert set(hl) == {"cloud", "energy", "known", "partnership"}
+    # no JSON at all → ([], []) (operate.py:1044-1046)
+    assert parse_keywords_response("no braces here") == ([], [])
+    # malformed JSON → ([], []) (operate.py:1049-1052)
+    assert parse_keywords_response("pre {not: valid json,} post") == ([], [])
+    # missing keys → empty defaults (operate.py:1054-1055)
+    assert parse_keywords_response('{"other": 1}') == ([], [])
+
+
+def test_keyword_mode_fallback_matrix(spark, graph):
+    """operate.py:841-856 fallback rules, parametrized over the matrix:
+    both-empty → fail response; ll-empty switches local/hybrid → global;
+    hl-empty switches global/hybrid → local; mix never switches."""
+    from aperag_spark.operators.context import FAIL_RESPONSE, kg_query_context
+
+    entities, relations, chunks, evdb, rvdb = graph
+    # only stopwords → hl == ll == [] → fail response, empty frames
+    stop_q = "what is the an of to?"
+    for mode in ["local", "global", "hybrid"]:
+        ctx = kg_query_context(stop_q, mode, entities, relations, chunks, evdb, rvdb, top_k=5)
+        assert ctx["prompt"] == FAIL_RESPONSE
+        assert ctx["entities"].count() == 0 and ctx["relations"].count() == 0
+        assert ctx["chunks"].count() == 0
+
+    # no capitalized entity runs → ll empty → local and hybrid degrade to
+    # global; global keeps itself
+    ll_empty_q = "cloud energy partnership technology trends"
+    for mode, expect in [("local", "global"), ("hybrid", "global"), ("global", "global")]:
+        ctx = kg_query_context(ll_empty_q, mode, entities, relations, chunks, evdb, rvdb, top_k=5)
+        assert ctx["mode"] == expect, (mode, ctx["mode"])
+
+    # ONLY entity runs (no theme words) → hl empty → global and hybrid
+    # degrade to local; local keeps itself
+    hl_empty_q = "Acme0 Corp Navarro1 Group"
+    for mode, expect in [("global", "local"), ("hybrid", "local"), ("local", "local")]:
+        ctx = kg_query_context(hl_empty_q, mode, entities, relations, chunks, evdb, rvdb, top_k=5)
+        assert ctx["mode"] == expect, (mode, ctx["mode"])
