@@ -119,6 +119,34 @@ class KGEngine:
             chunk_vdb_df=self._vdb("chunk") if mode in ("naive", "mix") else None,
         )
 
+    def query_prompt(
+        self,
+        text: str,
+        mode: str = "global",
+        top_k: int = 60,
+        token_budget: int = 4000,
+        response_type: str | None = None,
+        history: str = "",
+        user_prompt: str | None = None,
+    ) -> str:
+        """The only_need_prompt=True form (operate.py:952-953): context
+        frames rendered into the reference's JSON blocks and rag_response
+        system prompt (prompt.py:241-273), stopping at the LLM boundary."""
+        from aperag_spark.operators.render import (
+            DEFAULT_RESPONSE_TYPE,
+            DEFAULT_USER_PROMPT,
+            render_rag_prompt,
+        )
+
+        ctx = self.query(text, mode=mode, top_k=top_k, token_budget=token_budget)
+        return render_rag_prompt(
+            text,
+            ctx,
+            response_type=response_type or DEFAULT_RESPONSE_TYPE,
+            history=history,
+            user_prompt=user_prompt or DEFAULT_USER_PROMPT,
+        )
+
     def fulltext_search(self, keywords: list[str], topk: int = 3) -> DataFrame:
         from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
 

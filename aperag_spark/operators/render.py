@@ -1,0 +1,189 @@
+"""rag_response assembly: context DataFrames → the reference's JSON block
+format → system prompt, stopping at the LLM boundary.
+
+Reference:
+  * row shapes — operate.py:1313-1369 (_get_node_data build-prompt section):
+      entities:  {id, entity, type, description, rank, created_at, file_path}
+      relations: {id, entity1, entity2, description, keywords, weight, rank,
+                  created_at, file_path}
+      chunks:    {id, content, file_path}
+    with defaults "UNKNOWN" (type/description/created_at) and
+    "unknown_source" (file_path) when missing.
+  * context block — operate.py:908-930: three fenced JSON blocks under
+    -----Entities(KG)----- / -----Relationships(KG)----- /
+    -----Document Chunks(DC)----- headers (4-space continuation indent from
+    the reference's f-string, reproduced verbatim).
+  * system prompt — prompt.py:241-273 PROMPTS["rag_response"], formatted
+    with context_data/response_type/history/user_prompt
+    (operate.py:938-950); defaults response_type="Multiple Paragraphs"
+    (base.py:81), user_prompt="n/a" (prompt.py:58).
+
+The render step collects to the driver by design: context frames are
+already top-k'd and token-budget-truncated (Q6), so they are prompt-sized
+by construction — never the raw tables.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+# prompt.py:241-273, verbatim
+RAG_RESPONSE_TEMPLATE = """---Role---
+
+You are a helpful assistant responding to user query about Knowledge Graph and Document Chunks provided in JSON format below.
+
+
+---Goal---
+
+Generate a concise response based on Knowledge Base and follow Response Rules, considering both the conversation history and the current query. Summarize all information in the provided Knowledge Base, and incorporating general knowledge relevant to the Knowledge Base. Do not include information not provided by Knowledge Base.
+
+When handling relationships with timestamps:
+1. Each relationship has a "created_at" timestamp indicating when we acquired this knowledge
+2. When encountering conflicting relationships, consider both the semantic content and the timestamp
+3. Don't automatically prefer the most recently created relationships - use judgment based on the context
+4. For time-specific queries, prioritize temporal information in the content before considering creation timestamps
+
+---Conversation History---
+{history}
+
+---Knowledge Graph and Document Chunks---
+{context_data}
+
+---Response Rules---
+
+- Target format and length: {response_type}
+- Use markdown formatting with appropriate section headings
+- Please respond in the same language as the user's question.
+- Ensure the response maintains continuity with the conversation history.
+- List up to 5 most important reference sources at the end under "References" section. Clearly indicating whether each source is from Knowledge Graph (KG) or Document Chunks (DC), and include the file path if available, in the following format: [KG/DC] file_path
+- If you don't know the answer, just say so.
+- Do not make anything up. Do not include information not provided by the Knowledge Base.
+- Addtional user prompt: {user_prompt}
+
+Response:"""
+
+DEFAULT_USER_PROMPT = "n/a"  # prompt.py:58
+DEFAULT_RESPONSE_TYPE = "Multiple Paragraphs"  # base.py:81
+
+
+def _get(row: dict, key: str, default: Any) -> Any:
+    v = row.get(key)
+    return default if v is None else v
+
+
+def entities_context_rows(entities: DataFrame) -> list[dict]:
+    """operate.py:1313-1333: sequential ids, reference key set, defaults."""
+    order_col = next(
+        (c for c in ("order", "id", "vdb_rank", "rank") if c in entities.columns),
+        None,
+    )
+    df = entities.orderBy(order_col) if order_col else entities.orderBy("entity_id")
+    rows = [r.asDict() for r in df.collect()]
+    return [
+        {
+            "id": i + 1,
+            "entity": r["entity_id"],
+            "type": _get(r, "entity_type", "UNKNOWN"),
+            "description": _get(r, "description", "UNKNOWN"),
+            "rank": _get(r, "rank", 0),
+            "created_at": "UNKNOWN",  # excluded from parity (SURVEY §7.2)
+            "file_path": _get(r, "file_path", "unknown_source"),
+        }
+        for i, r in enumerate(rows)
+    ]
+
+
+def relations_context_rows(relations: DataFrame) -> list[dict]:
+    """operate.py:1335-1357."""
+    order_col = next(
+        (c for c in ("order", "id", "vdb_rank") if c in relations.columns), None
+    )
+    df = (
+        relations.orderBy(order_col)
+        if order_col
+        else relations.orderBy("src_id", "tgt_id")
+    )
+    rows = [r.asDict() for r in df.collect()]
+    return [
+        {
+            "id": i + 1,
+            "entity1": r["src_id"],
+            "entity2": r["tgt_id"],
+            "description": _get(r, "description", "UNKNOWN"),
+            "keywords": _get(r, "keywords", "UNKNOWN"),
+            "weight": _get(r, "weight", 1.0),
+            "rank": _get(r, "rank", 0),
+            "created_at": "UNKNOWN",
+            "file_path": _get(r, "file_path", "unknown_source"),
+        }
+        for i, r in enumerate(rows)
+    ]
+
+
+def text_units_context_rows(chunks: DataFrame) -> list[dict]:
+    """operate.py:1359-1368."""
+    order_col = next(
+        (c for c in ("id", "vdb_rank", "rank") if c in chunks.columns), None
+    )
+    df = chunks.orderBy(order_col) if order_col else chunks.orderBy("chunk_id")
+    rows = [r.asDict() for r in df.collect()]
+    return [
+        {
+            "id": i + 1,
+            "content": r["content"],
+            "file_path": _get(r, "file_path", "unknown_source"),
+        }
+        for i, r in enumerate(rows)
+    ]
+
+
+def render_context_data(ctx: dict[str, Any]) -> str:
+    """operate.py:905-930: three json.dumps blocks in the exact f-string
+    layout (4-space continuation indent included)."""
+    entities_str = json.dumps(entities_context_rows(ctx["entities"]), ensure_ascii=False)
+    relations_str = json.dumps(relations_context_rows(ctx["relations"]), ensure_ascii=False)
+    text_units_str = json.dumps(text_units_context_rows(ctx["chunks"]), ensure_ascii=False)
+    return f"""-----Entities(KG)-----
+
+    ```json
+    {entities_str}
+    ```
+
+    -----Relationships(KG)-----
+
+    ```json
+    {relations_str}
+    ```
+
+    -----Document Chunks(DC)-----
+
+    ```json
+    {text_units_str}
+    ```
+
+    """
+
+
+def render_rag_prompt(
+    query_text: str,
+    ctx: dict[str, Any],
+    response_type: str = DEFAULT_RESPONSE_TYPE,
+    history: str = "",
+    user_prompt: str = DEFAULT_USER_PROMPT,
+) -> str:
+    """Full system-prompt assembly (operate.py:938-950), LLM call excluded.
+
+    bypass contexts return the raw query (lightrag.py:873-884); fail-path
+    contexts (empty keywords) return the fail response unchanged."""
+    pre_rendered = ctx.get("prompt")
+    if pre_rendered is not None:
+        return pre_rendered
+    return RAG_RESPONSE_TEMPLATE.format(
+        context_data=render_context_data(ctx),
+        response_type=response_type,
+        history=history,
+        user_prompt=user_prompt,
+    )

@@ -1,0 +1,113 @@
+"""rag_response context rendering (operate.py:905-960, prompt.py:241-273):
+context frames → reference JSON blocks → system prompt, per mode."""
+
+import json
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from aperag_spark.operators.chunking import chunk_texts, extract_texts
+from aperag_spark.operators.context import FAIL_RESPONSE, kg_query_context
+from aperag_spark.operators.extraction import extract_mentions, split_mentions
+from aperag_spark.operators.merge import (
+    merge_entities,
+    merge_relations,
+    stub_missing_endpoints,
+)
+from aperag_spark.operators.render import (
+    render_context_data,
+    render_rag_prompt,
+)
+from aperag_spark.operators.vectors import embed_column, entity_vdb, relation_vdb
+from aperag_spark.synth import PAGES_SCHEMA, gen_pages_local
+
+ENTITY_KEYS = ["id", "entity", "type", "description", "rank", "created_at", "file_path"]
+RELATION_KEYS = [
+    "id", "entity1", "entity2", "description", "keywords", "weight", "rank",
+    "created_at", "file_path",
+]
+CHUNK_KEYS = ["id", "content", "file_path"]
+
+Q = "What is Acme0 Corp known for in cloud energy partnership?"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages = spark.createDataFrame(gen_pages_local(30, seed=42), schema=PAGES_SCHEMA)
+    chunks = chunk_texts(extract_texts(pages)).localCheckpoint()
+    raw_e, raw_r = split_mentions(extract_mentions(chunks))
+    relations = merge_relations(raw_r).localCheckpoint()
+    entities = stub_missing_endpoints(merge_entities(raw_e), relations).localCheckpoint()
+    evdb = entity_vdb(entities).localCheckpoint()
+    rvdb = relation_vdb(relations).localCheckpoint()
+    cvdb = embed_column(
+        chunks.select(F.col("chunk_id").alias("id"), "content"), "content"
+    ).localCheckpoint()
+    return entities, relations, chunks, evdb, rvdb, cvdb
+
+
+def _blocks(context_data: str) -> dict[str, list[dict]]:
+    """Parse the three fenced JSON blocks back out of the rendered layout."""
+    out = {}
+    for header, key in [
+        ("-----Entities(KG)-----", "entities"),
+        ("-----Relationships(KG)-----", "relations"),
+        ("-----Document Chunks(DC)-----", "chunks"),
+    ]:
+        m = re.search(re.escape(header) + r"\n\n    ```json\n    (.*?)\n    ```", context_data, re.DOTALL)
+        assert m, f"missing block {header}"
+        out[key] = json.loads(m.group(1))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["local", "global", "hybrid"])
+def test_context_data_blocks_per_mode(spark, graph, mode):
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    ctx = kg_query_context(Q, mode, entities, relations, chunks, evdb, rvdb, top_k=10, token_budget=2000)
+    rendered = render_context_data(ctx)
+    # layout: exact reference f-string shape incl. trailing indent
+    assert rendered.startswith("-----Entities(KG)-----\n\n    ```json\n    ")
+    assert rendered.endswith("```\n\n    ")
+    blocks = _blocks(rendered)
+    assert blocks["entities"], f"{mode}: no entity rows"
+    for row in blocks["entities"]:
+        assert list(row) == ENTITY_KEYS  # key ORDER matches operate.py:1323-1333
+    for row in blocks["relations"]:
+        assert list(row) == RELATION_KEYS
+    for row in blocks["chunks"]:
+        assert list(row) == CHUNK_KEYS
+    # sequential re-ids per block (enumerate i+1)
+    for key in ("entities", "relations", "chunks"):
+        assert [r["id"] for r in blocks[key]] == list(range(1, len(blocks[key]) + 1))
+
+
+def test_rag_prompt_assembly(spark, graph):
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    ctx = kg_query_context(Q, "hybrid", entities, relations, chunks, evdb, rvdb, top_k=10)
+    prompt = render_rag_prompt(Q, ctx, response_type="Single Paragraph", history="hist!", user_prompt="up!")
+    assert prompt.startswith("---Role---")
+    assert "---Conversation History---\nhist!" in prompt
+    assert "- Target format and length: Single Paragraph" in prompt
+    assert "- Addtional user prompt: up!" in prompt  # reference's own typo kept
+    assert "-----Entities(KG)-----" in prompt and prompt.rstrip().endswith("Response:")
+    # no unformatted placeholders remain
+    assert not re.search(r"\{(context_data|response_type|history|user_prompt)\}", prompt)
+
+
+def test_rag_prompt_bypass_and_fail_passthrough(spark, graph):
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    bp = kg_query_context(Q, "bypass", entities, relations, chunks, evdb, rvdb)
+    assert render_rag_prompt(Q, bp) == Q  # lightrag.py:873-884
+    fail = kg_query_context("what is the an of to?", "hybrid", entities, relations, chunks, evdb, rvdb)
+    assert render_rag_prompt(Q, fail) == FAIL_RESPONSE  # operate.py:842-844
+
+
+def test_engine_query_prompt_surface(spark, tmp_path):
+    from aperag_spark.api import KGEngine
+    from aperag_spark.synth import gen_pages_df
+
+    eng = KGEngine(spark, str(tmp_path / "kg"))
+    eng.insert(gen_pages_df(spark, 25, seed=3, partitions=4))
+    prompt = eng.query_prompt(Q, mode="local", top_k=5, token_budget=1500)
+    assert prompt.startswith("---Role---") and "```json" in prompt
