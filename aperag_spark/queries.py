@@ -729,20 +729,33 @@ def q_dedup_minhash_candidates(spark, sf_dir):
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+    # verify step over PRE-HASHED shingle tokens (md5 prefix, 16 hex chars):
+    # constant-size tokens instead of raw 3-word shingle strings, so the
+    # two pair-joins shuffle a fraction of the bytes; set-Jaccard over
+    # deterministic hashes is identical to string Jaccard modulo md5
+    # collisions — and the oracle applies the SAME hashing, so both engines
+    # agree exactly. At 100 TB this is the difference between shipping the
+    # corpus text through the verify shuffle and shipping fixed-width keys.
     sh = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", _shingle_col().alias("shingles"))
         .where(F.size("shingles") >= 1)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
+            ).alias("hs"),
+        )
     )
     return (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
         .select(
             F.col("doc_a").cast("bigint").alias("doc_a"),
             F.col("doc_b").cast("bigint").alias("doc_b"),
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
                 6,
             ).alias("jaccard"),
         )
@@ -751,7 +764,13 @@ def q_dedup_minhash_candidates(spark, sf_dir):
 
 ORACLE_DEDUP_MINHASH_CANDIDATES = f"""
 WITH sig AS ({ORACLE_DEDUP_MINHASH_SIG}),
-sh AS ({_SQL_SHINGLES}),
+shraw AS ({_SQL_SHINGLES}),
+-- mirror of the Spark side's pre-hashed verify: 16-hex-char md5 prefixes
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles, s -> substr(md5(s), 1, 16))) AS hs
+  FROM shraw
+),
 ok_buckets AS (
   -- mirror of MINHASH_BUCKET_CAP: degenerate buckets emit no pairs
   SELECT seed, minhash FROM sig GROUP BY seed, minhash
@@ -764,8 +783,8 @@ pairs AS (
   WHERE x.doc_id < y.doc_id
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+       round(len(list_intersect(a.hs, b.hs))::DOUBLE
+             / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
 FROM pairs JOIN sh a ON pairs.doc_a = a.doc_id JOIN sh b ON pairs.doc_b = b.doc_id
 """
 
