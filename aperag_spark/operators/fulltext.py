@@ -13,14 +13,19 @@ the reference's Elasticsearch leg (aperag/index/fulltext_index.py):
       BM25 (k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))),
       sorted by _score desc, top-k.
 
-Analyzer: lowercase + non-alphanumeric split — the ES `standard` analyzer's
-behavior on plain English text (no stemming, matching ES defaults without
-language analyzers).
+Analyzers: lowercase + non-alphanumeric split — the ES `standard`
+analyzer's behavior on plain English text (no stemming). For CJK corpora
+the reference maps `content` to ik_max_word / ik_smart
+(aperag/index/fulltext_index.py:270,286 — external ES plugin); the
+"ik-lite" stand-in here is Han-run overlapping bigrams (the classic Lucene
+`cjk` analyzer behavior), gated by a lang column so mixed corpora index
+each document with the right analyzer.
 """
 
 from __future__ import annotations
 
 import math
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -28,29 +33,86 @@ from pyspark.sql import DataFrame
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+_HAN_LO, _HAN_HI = "一", "鿿"
+CJK_LANGS = ("zh", "ja", "ko")
 
-def analyze_col(col):
-    """lowercase, split on non-word runs, drop empties → array<string>."""
-    return F.filter(
-        F.split(F.lower(col), r"[^\w]+"),
-        lambda w: w != "",
+
+def analyze_col(col, cjk: bool = False):
+    """lowercase, split on non-word runs, drop empties → array<string>.
+
+    cjk=True ("ik-lite", fulltext_index.py:286 stand-in): Han runs are
+    isolated and expanded to overlapping character bigrams (single chars
+    stand alone); non-Han segments keep the standard behavior. All
+    JVM-side expressions — the Han check is a codepoint range compare on
+    the first char, not a per-token regex."""
+    if not cjk:
+        return F.filter(F.split(F.lower(col), r"[^\w]+"), lambda w: w != "")
+    isolated = F.regexp_replace(F.lower(col), f"([{_HAN_LO}-{_HAN_HI}]+)", " $1 ")
+    toks = F.filter(
+        F.split(isolated, f"[^\\w{_HAN_LO}-{_HAN_HI}]+"), lambda w: w != ""
     )
+
+    def _expand(t):
+        first = F.substring(t, 1, 1)
+        is_han = (first >= F.lit(_HAN_LO)) & (first <= F.lit(_HAN_HI))
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+            lambda i: t.substr(i, F.lit(2)),
+        )
+        return F.when(is_han, bigrams).otherwise(F.array(t))
+
+    return F.flatten(F.transform(toks, _expand))
+
+
+def analyze_keywords(keywords: list[str], cjk: bool = False) -> list[str]:
+    """Driver-side mirror of analyze_col for the (tiny) query keyword list —
+    the search analyzer must tokenize queries exactly like the index
+    analyzer (ES search_analyzer=ik_smart, fulltext_index.py:286)."""
+    out: list[str] = []
+    for k in keywords:
+        k = k.lower()
+        segments = re.split(f"([{_HAN_LO}-{_HAN_HI}]+)", k) if cjk else [k]
+        for seg in segments:
+            if not seg:
+                continue
+            if cjk and _HAN_LO <= seg[0] <= _HAN_HI:
+                if len(seg) == 1:
+                    out.append(seg)
+                else:
+                    out.extend(seg[i : i + 2] for i in range(len(seg) - 1))
+            else:
+                out.extend(t for t in re.split(r"[^\w]+", seg) if t)
+    return out
 
 
 def build_fulltext_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+    cjk_langs: tuple[str, ...] = CJK_LANGS,
 ) -> dict[str, DataFrame]:
     """S8: docs → {postings, doclens}. postings has one row per (term, doc)
     with the term frequency; doclens carries each doc's analyzed length.
     Corpus stats (N, avgdl) are derived from doclens at query time — they
     are a 1-row aggregate, not a materialization concern.
 
+    When lang_col is given, documents whose language is in cjk_langs are
+    analyzed with the CJK bigram analyzer and the rest with the standard
+    analyzer — the per-field analyzer choice of fulltext_index.py:286,
+    expressed as a row-level CASE so one pass indexes a mixed corpus.
+
     Update/delete (fulltext_index.py:91-196) are the generic columnar-table
     upsert/anti-join patterns of operators/maintenance.py applied to these
     two tables keyed by id."""
-    terms = docs.select(
-        F.col(id_col).alias("id"), F.explode(analyze_col(F.col(text_col))).alias("term")
-    )
+    text = F.col(text_col)
+    if lang_col is None:
+        analyzed = analyze_col(text)
+    else:
+        analyzed = F.when(
+            F.col(lang_col).isin(*cjk_langs), analyze_col(text, cjk=True)
+        ).otherwise(analyze_col(text))
+    terms = docs.select(F.col(id_col).alias("id"), F.explode(analyzed).alias("term"))
     postings = terms.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
     doclens = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     return {"postings": postings, "doclens": doclens}
@@ -61,6 +123,7 @@ def bm25_search(
     keywords: list[str],
     topk: int = 3,
     min_should_match: float = 0.8,
+    cjk: bool = False,
 ) -> DataFrame:
     """Q10: BM25 over the inverted index. One broadcast join of the (tiny)
     keyword list against postings — shuffle key is `term`, so only the
@@ -77,7 +140,12 @@ def bm25_search(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    kw = spark.createDataFrame([(k.lower(),) for k in set(keywords)], "term string")
+    # query terms go through the same analyzer as the index (cjk=True →
+    # Han bigrams), so a Chinese phrase matches its indexed bigrams
+    terms_list = sorted(set(analyze_keywords(keywords, cjk=cjk)))
+    if not terms_list:
+        raise ValueError("keywords analyzed to nothing")
+    kw = spark.createDataFrame([(t,) for t in terms_list], "term string")
     df_by_term = (
         index["postings"]
         .join(F.broadcast(kw), "term", "left_semi")
@@ -100,7 +168,7 @@ def bm25_search(
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     scored = matched.withColumn("term_score", idf * tf_norm)
-    required = int(math.floor(min_should_match * len(set(keywords))))
+    required = int(math.floor(min_should_match * len(terms_list)))
     per_doc = (
         scored.groupBy("id")
         .agg(

@@ -126,3 +126,37 @@ def test_export_for_kg_eval(spark):
     # without source texts: chunks not required
     out2 = export_for_kg_eval(entities, relations, sample_size=10, include_source_texts=False)
     assert set(out2) == {"entities", "relationships"}
+
+
+def test_cjk_bigram_analyzer_bm25(spark):
+    """ik-lite (fulltext_index.py:270,286 stand-in): Han runs index as
+    overlapping bigrams gated by the lang column; a Chinese query phrase is
+    bigrammed by the search analyzer and retrieves the right document,
+    while English rows in the same corpus keep the standard analyzer."""
+    from aperag_spark.operators.fulltext import (
+        analyze_keywords,
+        bm25_search,
+        build_fulltext_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "机器学习是人工智能的一个分支", "zh"),
+            (2, "深度学习需要大量数据", "zh"),
+            (3, "machine learning is a branch of ai", "en"),
+            (4, "图数据库存储知识图谱", "zh"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    idx = build_fulltext_index(docs, lang_col="lang")
+    # search analyzer mirrors the index analyzer
+    assert analyze_keywords(["机器学习"], cjk=True) == ["机器", "器学", "学习"]
+    assert analyze_keywords(["知识图谱", "graph"], cjk=True) == ["知识", "识图", "图谱", "graph"]
+    assert analyze_keywords(["单"], cjk=True) == ["单"]
+    out = bm25_search(idx, ["机器学习"], topk=2, cjk=True).collect()
+    assert out and out[0]["id"] == 1  # the doc containing 机器学习
+    out2 = bm25_search(idx, ["知识图谱"], topk=2, cjk=True).collect()
+    assert out2 and out2[0]["id"] == 4
+    # English doc still reachable through the standard analyzer
+    out3 = bm25_search(idx, ["machine", "learning"], topk=2).collect()
+    assert out3 and out3[0]["id"] == 3
