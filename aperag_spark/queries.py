@@ -343,6 +343,76 @@ QUALIFY rank <= 20
 """
 
 
+def q_kg_one_hop(spark, sf_dir):
+    """Q5 one-hop edge ranking (operate.py:1465-1525) oracle-checked: seeds
+    = the top-5 entities by (degree, total_weight); every edge touching a
+    seed is ranked by (edge_degree = src_degree + tgt_degree, weight) desc
+    and the bounded top-50 get a sequential ord — exercised through the
+    REAL operator (operators/context.one_hop_edges), including its
+    TakeOrderedAndProject bound."""
+    from aperag_spark.operators.context import one_hop_edges
+
+    # the canonical edge list is read 4× downstream (touching ×2, degree,
+    # seeds) — materialize it once instead of re-running the bigram explode
+    edges = q_kg_relations(spark, sf_dir).select(
+        F.col("src").alias("src_id"),
+        F.col("tgt").alias("tgt_id"),
+        F.col("weight").cast("double").alias("weight"),
+    ).localCheckpoint()
+    contrib = edges.select(
+        F.explode(F.array("src_id", "tgt_id")).alias("entity"), "weight"
+    )
+    seeds = (
+        contrib.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("weight").cast("bigint").alias("total_weight"),
+        )
+        .orderBy(F.desc("degree"), F.desc("total_weight"), F.asc("entity"))
+        .limit(5)
+        .select(F.col("entity").alias("entity_id"))
+    )
+    out = one_hop_edges(seeds, edges, max_edges=50)
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("rank").cast("bigint").alias("edge_rank"),
+        F.col("order").cast("bigint").alias("ord"),
+    )
+
+
+ORACLE_KG_ONE_HOP = f"""
+WITH edges AS ({ORACLE_KG_RELATIONS}),
+contrib AS (
+  SELECT src AS entity, weight FROM edges
+  UNION ALL SELECT tgt, weight FROM edges
+), deg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree,
+         CAST(sum(weight) AS BIGINT) AS total_weight
+  FROM contrib GROUP BY entity
+), seeds AS (
+  SELECT entity FROM deg
+  ORDER BY degree DESC, total_weight DESC, entity LIMIT 5
+), touching AS (
+  SELECT e.src, e.tgt, e.weight FROM edges e
+  WHERE e.src IN (SELECT entity FROM seeds)
+     OR e.tgt IN (SELECT entity FROM seeds)
+), ranked AS (
+  SELECT t.src, t.tgt, t.weight, ds.degree + dt.degree AS edge_rank
+  FROM touching t
+  JOIN deg ds ON t.src = ds.entity
+  JOIN deg dt ON t.tgt = dt.entity
+)
+SELECT src AS src_id, tgt AS tgt_id, CAST(weight AS BIGINT) AS weight,
+       CAST(edge_rank AS BIGINT) AS edge_rank,
+       CAST(row_number() OVER (
+         ORDER BY edge_rank DESC, weight DESC, src, tgt) AS BIGINT) AS ord
+FROM ranked
+QUALIFY ord <= 50
+"""
+
+
 TOKEN_BUDGET = 100
 
 
@@ -1721,6 +1791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_relations": q_kg_relations,
     "kg_node_degree": q_kg_node_degree,
     "kg_top_entities": q_kg_top_entities,
+    "kg_one_hop": q_kg_one_hop,
     "kg_bfs": q_kg_bfs,
     "kg_connected_components": q_kg_connected_components,
     "kg_token_budget": q_kg_token_budget,
@@ -1757,6 +1828,7 @@ ORACLES: dict[str, str] = {
     "kg_relations": ORACLE_KG_RELATIONS,
     "kg_node_degree": ORACLE_KG_NODE_DEGREE,
     "kg_top_entities": ORACLE_KG_TOP_ENTITIES,
+    "kg_one_hop": ORACLE_KG_ONE_HOP,
     "kg_bfs": ORACLE_KG_BFS,
     "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
     "kg_token_budget": ORACLE_KG_TOKEN_BUDGET,
