@@ -163,3 +163,139 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path alongside LSH, the
+# standard coarse-quantizer layout (Jégou et al., PAMI'11 / faiss IVF):
+# k-means centroids partition the corpus into posting lists; a query probes
+# only its nprobe nearest lists. Training follows faiss practice: centroids
+# are learned on a BOUNDED deterministic sample (driver-side numpy Lloyd
+# iterations — the sample matrix is tiny), then assignment is one
+# distributed GEMM pass against the broadcast centroid matrix.
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic seeded k-means on a bounded sample.
+
+    The sample is the sample_cap vectors with the smallest md5(vec_id) —
+    order-free and engine-independent, so training is reproducible
+    regardless of partitioning. Lloyd runs driver-side on the (≤sample_cap,
+    dim) matrix: at any corpus size this is constant work, the faiss
+    train-on-sample pattern. Returns L2-normalized centroids (spherical
+    k-means — assignment by max dot product = max cosine)."""
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)
+    cent = mat[np.sort(init)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, centroid_id): the IVF posting lists. One narrow
+    mapInPandas GEMM against the broadcast centroid matrix; at scale the
+    result is materialized partitioned by centroid_id so probes read only
+    their lists."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(pdf[id_col], dtype=np.int64),
+                    "centroid_id": np.argmax(mat @ cent.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _assign, "vec_id bigint, centroid_id int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: per query, probe the nprobe centroids nearest its vector,
+    exact-cosine the union of those posting lists, window top-k. Work per
+    query ≈ nprobe/n_centroids of the corpus instead of all of it."""
+    centroids = ivf_train_centroids(
+        emb, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
+    )
+    lists = ivf_assign(emb, centroids, id_col, vec_col)
+
+    q_rows = emb.where(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    qmat = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(r[id_col]), int(c)) for r, cs in zip(q_rows, order) for c in cs
+    ]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, centroid_id int")
+
+    candidates = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    from aperag_spark.queries import _cosine
+
+    scored = (
+        candidates.join(emb.select(id_col, vec_col), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -107,3 +107,39 @@ def test_neardup_lsh_high_threshold_subquadratic(spark):
         F.count(F.lit(1)).alias("c")).collect()]
     work = sum(s * (s - 1) // 2 for s in sizes)
     assert work < n * (n - 1) // 2 / 4, f"work {work} not sub-quadratic vs {n*(n-1)//2}"
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF scale path: nprobe/n_centroids of the corpus scanned per query,
+    recall vs brute force stays high; deterministic training (bounded
+    md5-ordered sample + seeded Lloyd) makes the index reproducible."""
+    from aperag_spark.operators.ann import ivf_assign, ivf_topk, ivf_train_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+
+    cents1 = ivf_train_centroids(emb, n_centroids=8, seed=42)
+    cents2 = ivf_train_centroids(emb, n_centroids=8, seed=42)
+    assert (cents1 == cents2).all()  # deterministic across invocations
+
+    lists = ivf_assign(emb, cents1)
+    assert lists.count() == n  # every vector lands in exactly one list
+    sizes = [r["c"] for r in lists.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("c")).collect()]
+    assert len(sizes) >= 2  # the quantizer actually partitions
+
+    exact = q_sim_topk(spark, SF, n_queries=len(QUERY_IDS), k=K).collect()
+    approx = ivf_topk(emb, QUERY_IDS, k=K, n_centroids=8, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / K for q in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"recall {mean_recall:.2f} ({recalls})"
+
+    # pruning: per-query candidate bound = sum of its nprobe list sizes,
+    # which is under the whole corpus even for the 4 biggest lists
+    biggest4 = sum(sorted(sizes, reverse=True)[:4])
+    assert biggest4 < n, (biggest4, n)
