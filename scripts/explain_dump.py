@@ -43,6 +43,7 @@ def main() -> None:
 
     for name in [
         "kg_top_entities",
+        "kg_one_hop",
         "dedup_minhash_candidates",
         "dedup_simhash",
         "dedup_simhash_pairs",
