@@ -97,6 +97,124 @@ def extract_media_features(
     return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
 
 
+def assets_to_media(parts: DataFrame) -> DataFrame:
+    """Bridge the document parser's asset part rows (operators/parsing.
+    parse_pages, kind='asset': embedded data-URI images etc.) into the media
+    table shape — the reference uploads these same assets to object storage
+    (aperag/index/document_parser.py:95-126); here they flow into the media
+    pipeline. Narrow projection, payload bytes stay in place."""
+    import pyspark.sql.functions as F
+
+    return (
+        parts.where(F.col("kind") == "asset")
+        .select(
+            F.col("asset_id").alias("media_id"),
+            F.when(F.col("mime_type").startswith("image"), "image")
+            .when(F.col("mime_type").startswith("audio"), "audio")
+            .when(F.col("mime_type").startswith("video"), "video")
+            .otherwise("image")
+            .alias("kind"),
+            F.col("data").alias("payload"),
+            F.col("mime_type").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+        .dropDuplicates(["media_id"])  # same asset embedded in many docs
+    )
+
+
+def _nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — real math; only the
+    decode that produces `img` is environment-stubbed."""
+    h, w = img.shape[0], img.shape[1]
+    yi = np.clip(np.round(np.linspace(0, h - 1, height)).astype(int), 0, h - 1)
+    xi = np.clip(np.round(np.linspace(0, w - 1, width)).astype(int), 0, w - 1)
+    return img[yi][:, xi]
+
+
+RESIZED_SCHEMA = (
+    "media_id string, width int, height int, pixels array<float>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image rows → nearest-neighbor-resized pixel rows (flattened float
+    array). Narrow mapInPandas; only the small resized arrays leave the
+    scan task."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                arr = decode_media(bytes(payload), "image", deterministic_fake=deterministic_fake)
+                out = _nn_resize(arr, width, height)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": width,
+                        "height": height,
+                        "pixels": [float(x) for x in out.reshape(-1)],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "pixels"])
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def frame_sample_indices(total: int, n_frames: int) -> list[int]:
+    """Uniform temporal sampling: n_frames indices evenly spaced over
+    [0, total-1] (first and last frames always included when n_frames≥2)."""
+    if total <= 0 or n_frames <= 0:
+        return []
+    if n_frames >= total:
+        return list(range(total))
+    return sorted({int(round(x)) for x in np.linspace(0, total - 1, n_frames)})
+
+
+FRAMES_SCHEMA = (
+    "media_id string, frame_idx int, n_frames_total int, feature array<float>"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, n_frames: int = 2, feature_dim: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Video rows → one row per sampled frame with its pooled feature.
+    The temporal sampling and pooling are real; only the codec is stubbed."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                arr = decode_media(bytes(payload), "video", deterministic_fake=deterministic_fake)
+                total = int(arr.shape[0])
+                for idx in frame_sample_indices(total, n_frames):
+                    flat = arr[idx].reshape(-1)
+                    bands = np.array_split(flat, feature_dim)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "n_frames_total": total,
+                            "feature": [float(np.float32(b.mean())) for b in bands],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_frames_total", "feature"]
+            )
+
+    return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
 def gen_media_df(spark, n: int = 64, seed: int = 42, partitions: int = 4) -> DataFrame:
     """Deterministic synthetic media table (binary payloads) for tests."""
 

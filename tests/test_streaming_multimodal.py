@@ -243,3 +243,67 @@ def test_incremental_graph_stream_foreachbatch(spark, tmp_path):
     assert ptr3["batch_id"] > ptr["batch_id"]
     ents3 = spark.read.parquet(ptr3["entities"])
     assert ents3.count() >= len(ents)
+
+
+def test_resize_and_frame_sampling(spark):
+    """resize (nearest-neighbor, real math) and uniform frame sampling over
+    the deterministic-fake decode path."""
+    import numpy as np
+
+    from aperag_spark.operators.multimodal import (
+        _nn_resize,
+        frame_sample_indices,
+        gen_media_df,
+        resize_images,
+        sample_video_frames,
+    )
+
+    # pure-function checks first
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    out = _nn_resize(img, width=3, height=2)
+    assert out.shape == (2, 3, 3)
+    assert (out[0, 0] == img[0, 0]).all() and (out[-1, -1] == img[-1, -1]).all()
+    assert frame_sample_indices(10, 4) == [0, 3, 6, 9]
+    assert frame_sample_indices(2, 8) == [0, 1]
+    assert frame_sample_indices(0, 4) == []
+
+    media = gen_media_df(spark, n=12, seed=1).localCheckpoint()
+    rs = resize_images(media, width=8, height=8).collect()
+    assert rs and all(len(r["pixels"]) == 8 * 8 * 3 for r in rs)
+    n_images = media.where("kind = 'image'").count()
+    assert len(rs) == n_images
+
+    fr = sample_video_frames(media, n_frames=2).collect()
+    n_videos = media.where("kind = 'video'").count()
+    assert len(fr) == 2 * n_videos  # fake videos have 4 frames; sample 2
+    for r in fr:
+        assert r["frame_idx"] in (0, 3) and r["n_frames_total"] == 4
+        assert len(r["feature"]) == 8
+
+
+def test_parser_assets_flow_into_media_pipeline(spark):
+    """End-to-end S3→multimodal integration: an HTML page with an embedded
+    data-URI image parses into an asset part row, bridges into the media
+    table, and yields feature rows — payload bytes never shuffle."""
+    import base64
+    from hashlib import md5
+
+    from aperag_spark.operators.multimodal import assets_to_media, extract_media_features
+    from aperag_spark.operators.parsing import parse_pages
+
+    raw = b"imagebytes-for-integration"
+    b64 = base64.b64encode(raw).decode()
+    html = f'<html><body><p>pic: <img alt="a" src="data:image/png;base64,{b64}"></p></body></html>'
+    pages = spark.createDataFrame(
+        [("https://x/a.html", bytearray(html.encode())),
+         ("https://x/b.html", bytearray(html.encode()))],  # same asset twice
+        "url string, html binary",
+    )
+    parts = parse_pages(pages)
+    media = assets_to_media(parts)
+    rows = media.collect()
+    assert len(rows) == 1  # deduped by asset id across documents
+    assert rows[0]["media_id"] == md5(raw).hexdigest()
+    assert rows[0]["kind"] == "image" and bytes(rows[0]["payload"]) == raw
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
