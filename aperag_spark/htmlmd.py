@@ -48,6 +48,13 @@ class _Node:
         self.children: list = []  # _Node or str
 
 
+# Bound on DOM depth: deeper elements attach to the capped ancestor instead
+# of nesting (flattening). Rendering recurses on tree depth, so this keeps an
+# adversarial 100k-deep <div> chain from blowing the recursion limit inside
+# an executor task — the html→text path runs unguarded in the KG chunk stage.
+_MAX_DOM_DEPTH = 128
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -57,7 +64,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = _Node(tag, dict(attrs))
         self.stack[-1].children.append(node)
-        if tag not in _VOID:
+        if tag not in _VOID and len(self.stack) < _MAX_DOM_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):

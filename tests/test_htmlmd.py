@@ -111,3 +111,15 @@ def test_malformed_html_is_total():
     doc = b"<p>open <b>bold<i>both</p></b></i><table><tr><td>cell"
     out = extract_text_from_html(doc)
     assert "open" in out and "both" in out and "cell" in out
+
+
+def test_adversarial_deep_nesting_is_total():
+    """A 100k-deep element chain must not blow the recursion limit — the
+    extractor runs unguarded inside the KG chunk stage, so totality is a
+    poison-document defense, not a nicety."""
+    deep = "<div>" * 100_000 + "payload text" + "</div>" * 100_000
+    out = html_to_markdown(deep)
+    assert "payload text" in out
+    deep_q = "<blockquote>" * 50_000 + "<p>quoted</p>" + "</blockquote>" * 50_000
+    out2 = html_to_markdown(deep_q)
+    assert "quoted" in out2
