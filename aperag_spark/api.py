@@ -128,6 +128,8 @@ class KGEngine:
         response_type: str | None = None,
         history: str = "",
         user_prompt: str | None = None,
+        conversation_history: list[dict] | None = None,
+        history_turns: int = 3,
     ) -> str:
         """The only_need_prompt=True form (operate.py:952-953): context
         frames rendered into the reference's JSON blocks and rag_response
@@ -145,6 +147,8 @@ class KGEngine:
             response_type=response_type or DEFAULT_RESPONSE_TYPE,
             history=history,
             user_prompt=user_prompt or DEFAULT_USER_PROMPT,
+            conversation_history=conversation_history,
+            history_turns=history_turns,
         )
 
     def fulltext_search(self, keywords: list[str], topk: int = 3) -> DataFrame:

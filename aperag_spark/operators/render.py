@@ -65,8 +65,79 @@ When handling relationships with timestamps:
 
 Response:"""
 
+# prompt.py:343-375, verbatim — naive mode renders chunks only under its
+# own template (operate.py:1804-1811 naive_query)
+NAIVE_RAG_RESPONSE_TEMPLATE = """---Role---
+
+You are a helpful assistant responding to user query about Document Chunks provided provided in JSON format below.
+
+---Goal---
+
+Generate a concise response based on Document Chunks and follow Response Rules, considering both the conversation history and the current query. Summarize all information in the provided Document Chunks, and incorporating general knowledge relevant to the Document Chunks. Do not include information not provided by Document Chunks.
+
+When handling content with timestamps:
+1. Each piece of content has a "created_at" timestamp indicating when we acquired this knowledge
+2. When encountering conflicting information, consider both the content and the timestamp
+3. Don't automatically prefer the most recent content - use judgment based on the context
+4. For time-specific queries, prioritize temporal information in the content before considering creation timestamps
+
+---Conversation History---
+{history}
+
+---Document Chunks(DC)---
+{content_data}
+
+---Response Rules---
+
+- Target format and length: {response_type}
+- Use markdown formatting with appropriate section headings
+- Please respond in the same language as the user's question.
+- Ensure the response maintains continuity with the conversation history.
+- List up to 5 most important reference sources at the end under "References" section. Clearly indicating each source from Document Chunks(DC), and include the file path if available, in the following format: [DC] file_path
+- If you don't know the answer, just say so.
+- Do not include information not provided by the Document Chunks.
+- Addtional user prompt: {user_prompt}
+
+Response:"""
+
 DEFAULT_USER_PROMPT = "n/a"  # prompt.py:58
 DEFAULT_RESPONSE_TYPE = "Multiple Paragraphs"  # base.py:81
+DEFAULT_HISTORY_TURNS = 3  # base.py:110
+
+
+def get_conversation_turns(
+    conversation_history: list[dict[str, Any]], num_turns: int
+) -> str:
+    """utils.py:300-354, faithful port: drop keyword-extraction assistant
+    replies, pair messages into (user, assistant) turns, keep the most
+    recent num_turns, render as 'user: …\\nassistant: …' lines."""
+    if num_turns <= 0:
+        return ""
+    messages: list[dict[str, Any]] = []
+    for msg in conversation_history:
+        if msg["role"] == "assistant" and (
+            msg["content"].startswith('{ "high_level_keywords"')
+            or msg["content"].startswith("{'high_level_keywords'")
+        ):
+            continue
+        messages.append(msg)
+    turns: list[list[dict[str, Any]]] = []
+    i = 0
+    while i < len(messages) - 1:
+        msg1, msg2 = messages[i], messages[i + 1]
+        if (msg1["role"] == "user" and msg2["role"] == "assistant") or (
+            msg1["role"] == "assistant" and msg2["role"] == "user"
+        ):
+            turns.append([msg2, msg1] if msg1["role"] == "assistant" else [msg1, msg2])
+        i += 2
+    if len(turns) > num_turns:
+        turns = turns[-num_turns:]
+    formatted: list[str] = []
+    for turn in turns:
+        formatted.extend(
+            [f"user: {turn[0]['content']}", f"assistant: {turn[1]['content']}"]
+        )
+    return "\n".join(formatted)
 
 
 def _get(row: dict, key: str, default: Any) -> Any:
@@ -173,14 +244,34 @@ def render_rag_prompt(
     response_type: str = DEFAULT_RESPONSE_TYPE,
     history: str = "",
     user_prompt: str = DEFAULT_USER_PROMPT,
+    conversation_history: list[dict[str, Any]] | None = None,
+    history_turns: int = DEFAULT_HISTORY_TURNS,
 ) -> str:
     """Full system-prompt assembly (operate.py:938-950), LLM call excluded.
 
     bypass contexts return the raw query (lightrag.py:873-884); fail-path
-    contexts (empty keywords) return the fail response unchanged."""
+    contexts (empty keywords) return the fail response unchanged; naive
+    contexts render chunks only under the naive template
+    (operate.py:1784-1811: empty chunk context → fail response). Pass
+    conversation_history (list of {role, content}) to have it formatted via
+    get_conversation_turns, or a pre-rendered `history` string."""
     pre_rendered = ctx.get("prompt")
     if pre_rendered is not None:
         return pre_rendered
+    if conversation_history:
+        history = get_conversation_turns(conversation_history, history_turns)
+    if ctx.get("mode") == "naive":
+        rows = text_units_context_rows(ctx["chunks"])
+        if not rows:
+            from aperag_spark.operators.context import FAIL_RESPONSE
+
+            return FAIL_RESPONSE
+        return NAIVE_RAG_RESPONSE_TEMPLATE.format(
+            content_data=json.dumps(rows, ensure_ascii=False),
+            response_type=response_type,
+            history=history,
+            user_prompt=user_prompt,
+        )
     return RAG_RESPONSE_TEMPLATE.format(
         context_data=render_context_data(ctx),
         response_type=response_type,

@@ -111,3 +111,64 @@ def test_engine_query_prompt_surface(spark, tmp_path):
     eng.insert(gen_pages_df(spark, 25, seed=3, partitions=4))
     prompt = eng.query_prompt(Q, mode="local", top_k=5, token_budget=1500)
     assert prompt.startswith("---Role---") and "```json" in prompt
+
+
+def test_naive_mode_uses_naive_template(spark, graph):
+    """naive_query renders chunks only under its own template
+    (prompt.py:343-375, operate.py:1804-1811); empty chunk context → fail
+    response (operate.py:1784-1786)."""
+    from aperag_spark.operators.render import render_rag_prompt
+
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    ctx = kg_query_context(Q, "naive", entities, relations, chunks, evdb, rvdb,
+                           top_k=5, chunk_vdb_df=cvdb)
+    prompt = render_rag_prompt(Q, ctx)
+    assert "Document Chunks provided provided in JSON format" in prompt  # ref typo kept
+    assert "---Document Chunks(DC)---" in prompt
+    assert "Entities(KG)" not in prompt  # no graph sections in naive
+    # empty chunk frame → fail response
+    empty_ctx = dict(ctx, chunks=ctx["chunks"].limit(0))
+    assert render_rag_prompt(Q, empty_ctx) == FAIL_RESPONSE
+
+
+def test_conversation_turns_formatting():
+    """utils.py:300-354 port, verified identical to the reference function
+    on a 500-case fuzz (roles × kw-marker contents × num_turns): keyword
+    replies dropped, user-first ordering, stride-2 pairing (a reference
+    quirk — an unpaired offset yields NO turns), most-recent window."""
+    from aperag_spark.operators.render import get_conversation_turns
+
+    clean = [
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+        {"role": "assistant", "content": "a2"},
+        {"role": "assistant", "content": "a3"},
+        {"role": "user", "content": "q3"},
+    ]
+    out = get_conversation_turns(clean, 10)
+    # assistant-first pair is reordered user-first (utils.py:337-341)
+    assert out == "user: q1\nassistant: a1\nuser: q2\nassistant: a2\nuser: q3\nassistant: a3"
+    assert get_conversation_turns(clean, 1) == "user: q3\nassistant: a3"
+    assert get_conversation_turns(clean, 0) == ""
+    # keyword-extraction replies are filtered BEFORE pairing, and the
+    # stride-2 walk drops turns when the offset is broken — reference
+    # ground truth for this exact history is the empty string
+    tricky = [
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": '{ "high_level_keywords": ["x"]}'},
+        {"role": "user", "content": "q2"},
+        {"role": "assistant", "content": "a2"},
+        {"role": "assistant", "content": "a3"},
+        {"role": "user", "content": "q3"},
+        {"role": "user", "content": "q4"},
+        {"role": "assistant", "content": "a4"},
+    ]
+    assert get_conversation_turns(tricky, 10) == ""
+    # the filter alone (kw reply removed, then a clean pair) still pairs
+    filtered = [
+        {"role": "assistant", "content": "{'high_level_keywords': []}"},
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a"},
+    ]
+    assert get_conversation_turns(filtered, 5) == "user: q\nassistant: a"
