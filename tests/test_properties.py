@@ -153,9 +153,23 @@ def test_markdown_parser_never_crashes(s):
     parts = parse_md(s)
     assert parts and parts[0]["kind"] == "markdown"
     for p in parts:
-        assert p["kind"] in {"markdown", "asset", "title", "text", "code"}
+        assert p["kind"] in {"markdown", "asset", "title", "text", "code", "image"}
         if p["kind"] == "title":
             assert 1 <= p["level"] <= 6
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_html_converter_never_crashes(s):
+    """html_to_markdown is total on arbitrary text (tag soup, stray
+    brackets, entities): it must never raise — it runs unguarded inside the
+    KG chunk stage — and its output must feed parse_md without error."""
+    from aperag_spark.docparser import parse_md
+    from aperag_spark.htmlmd import html_to_markdown
+
+    md = html_to_markdown(s)
+    assert isinstance(md, str)
+    parse_md(md)
 
 
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=60))
