@@ -106,6 +106,8 @@ def normalize_extracted_info(name: str, is_entity: bool = False) -> str:
             name = name[1:-1]
         if len(name) >= 2 and name[0] == "'" and name[-1] == "'":
             name = name[1:-1]
+        if is_entity:
+            name = name.replace(', "").replace(', "").replace("'", "")
         return name
     name = name.replace("（", "(").replace("）", ")")
     name = name.replace("—", "-").replace("－", "-")
@@ -117,12 +119,16 @@ def normalize_extracted_info(name: str, is_entity: bool = False) -> str:
     if len(name) >= 2 and name.startswith("'") and name.endswith("'"):
         name = name[1:-1]
     if is_entity:
-        name = (
-            name.replace("“", "")
-            .replace("”", "")
-            .replace("‘", "")
-            .replace("’", "")
-        )
+        # QUIRK REPRODUCED, NOT FIXED (SURVEY §7.2): the reference source's
+        # curly-quote replaces are mangled — utils.py:459 reads
+        # `name.replace(""", "").replace(""", "")...` where the first `"""`
+        # OPENS A TRIPLE-QUOTED STRING, so the code that actually executes is
+        # `name.replace(', "").replace(', "").replace("'", "").replace("'", "")`:
+        # it removes the literal substring ', "").replace(' and every straight
+        # apostrophe, and KEEPS curly quotes (“”‘’). Verified by executing the
+        # reference function directly; fuzz-locked in
+        # tests/test_live_reference_fuzz.py.
+        name = name.replace(', "").replace(', "").replace("'", "")
         name = _QUOTE_BEFORE_ZH_RE.sub("", name)
         name = _QUOTE_AFTER_ZH_RE.sub("", name)
     return name

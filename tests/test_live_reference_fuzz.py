@@ -1,0 +1,168 @@
+"""Live-reference differential fuzz (skip-gated on the reference checkout).
+
+The golden-suite ports pin fixed cases; these tests go further and execute
+the REFERENCE CODE ITSELF — importing aperag.docparser.chunking directly
+and exec'ing the pure functions extracted from lightrag utils.py/operate.py
+source — then fuzz our ports against it on hundreds of randomized inputs.
+Any divergence is a real fidelity bug in one side. Skipped when
+/root/reference is absent so the repo stays standalone.
+
+No reference code is copied into this repo by these tests: they read the
+reference at runtime, in this environment only, as a test oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import re
+import sys
+
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+_WORDS = ["alpha", "beta", "Gamma", "delta-9", "x", "Corp.", "中文", "naïve", "42"]
+_PUNCT = [".", "!", "?", ",", ";", ""]
+
+
+def _ref_func(name: str):
+    """Extract one top-level function from the reference source and exec it
+    in an isolated namespace (the lightrag package __init__ pulls optional
+    storage drivers that are absent here, so direct import is not viable)."""
+    src = ""
+    for rel in ("aperag/graph/lightrag/utils.py", "aperag/graph/lightrag/operate.py"):
+        src += open(os.path.join(REF, rel)).read() + "\n"
+    m = re.search(
+        rf"^def {name}\(.*?\n(?=\n(?:def |async def |class |@))", src, re.DOTALL | re.M
+    )
+    assert m, f"could not extract {name}"
+    import hashlib
+    import html
+    from hashlib import md5
+    from typing import Any
+
+    ns = {"re": re, "html": html, "hashlib": hashlib, "md5": md5, "Any": Any}
+    exec(m.group(0), ns)  # noqa: S102 — test oracle, reference source
+    return ns[name]
+
+
+def _rand_text(rng: random.Random, n_words: int) -> str:
+    out = []
+    for _ in range(n_words):
+        out.append(rng.choice(_WORDS) + rng.choice(_PUNCT))
+        if rng.random() < 0.1:
+            out.append("\n")
+    return " ".join(out)
+
+
+def test_pure_function_fuzz_vs_reference():
+    """clean_str / is_float_regex / split_string_by_multi_markers /
+    compute_mdhash_id / normalize_extracted_info: byte-identical to the
+    reference on randomized adversarial inputs (quotes, control chars, HTML
+    escapes, CJK, markers)."""
+    from aperag_spark import textproc as tp
+
+    rng = random.Random(42)
+    pieces = [
+        "a", "  b  ", "&amp;", "&lt;tag&gt;", "\x07ctrl\x1f", '"quoted"',
+        "“curly”", "中 文 字", "A 中B", "（paren）", "—dash—", "<|>", "##",
+        "1.5", "-2", "+.75", "1e3", "nan", "", " ", "\n", "entity<SEP>x",
+    ]
+    ref = {n: _ref_func(n) for n in [
+        "clean_str", "is_float_regex", "split_string_by_multi_markers",
+        "compute_mdhash_id", "normalize_extracted_info",
+    ]}
+    for trial in range(800):
+        s = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 6)))
+        assert tp.clean_str(s) == ref["clean_str"](s), repr(s)
+        assert tp.is_float_regex(s) == ref["is_float_regex"](s), repr(s)
+        markers = rng.sample(["<|>", "##", ",", "<SEP>"], rng.randint(1, 3))
+        assert tp.split_string_by_multi_markers(s, markers) == ref[
+            "split_string_by_multi_markers"
+        ](s, markers), (repr(s), markers)
+        assert tp.compute_mdhash_id(s, prefix="ent-") == ref["compute_mdhash_id"](
+            s, prefix="ent-"
+        ), repr(s)
+        for is_entity in (False, True):
+            assert tp.normalize_extracted_info(s, is_entity) == ref[
+                "normalize_extracted_info"
+            ](s, is_entity), (repr(s), is_entity)
+
+
+def test_chunking_fuzz_vs_reference():
+    """chunking_by_token_size: identical (tokens, content, chunk_order_index)
+    stream for random texts × window/overlap × split-by-character modes,
+    sharing ONE tokenizer object across both implementations."""
+    from aperag_spark.textproc import chunking_by_token_size, get_tokenizer
+
+    ref_chunk = _ref_func("chunking_by_token_size")
+    tok = get_tokenizer()
+    rng = random.Random(7)
+    for trial in range(60):
+        text = _rand_text(rng, rng.randint(0, 220))
+        if rng.random() < 0.5:
+            text = text.replace(" ", "\n\n", rng.randint(0, 3))
+        max_tok = rng.choice([16, 40, 120])
+        ov = rng.choice([0, 4, 10])
+        sbc = rng.choice([None, None, "\n\n"])
+        only = rng.random() < 0.5
+        ours = chunking_by_token_size(
+            tok, text, split_by_character=sbc, split_by_character_only=only,
+            overlap_token_size=ov, max_token_size=max_tok,
+        )
+        theirs = ref_chunk(
+            tok, text, split_by_character=sbc, split_by_character_only=only,
+            overlap_token_size=ov, max_token_size=max_tok,
+        )
+        assert ours == theirs, (trial, text[:80], max_tok, ov, sbc, only)
+
+
+def test_rechunker_fuzz_vs_reference():
+    """Random part streams through our functional rechunker vs the
+    reference's Rechunker class: identical (content, titles) sequences
+    across sizes, overlaps, and tokenizers."""
+    sys.path.insert(0, REF)
+    try:
+        from aperag.docparser.base import Part, TitlePart
+        from aperag.docparser.chunking import Rechunker
+    finally:
+        sys.path.remove(REF)
+    from aperag_spark.operators.rechunk import rechunk_parts
+
+    class WTok:
+        def encode(self, s):
+            return [len(w) for w in s.split()]
+
+    class CTok:
+        def encode(self, s):
+            return [ord(c) for c in s]
+
+    rng = random.Random(99)
+    for trial in range(150):
+        n_parts = rng.randint(1, 12)
+        ours_parts, ref_parts = [], []
+        for _ in range(n_parts):
+            if rng.random() < 0.3:
+                lvl = rng.randint(1, 4)
+                text = "#" * lvl + " " + _rand_text(rng, rng.randint(0, 4))
+                ours_parts.append({"kind": "title", "level": lvl, "content": text})
+                ref_parts.append(TitlePart(content=text, level=lvl))
+            else:
+                text = _rand_text(rng, rng.randint(0, 15))
+                ours_parts.append({"kind": "text", "level": 0, "content": text})
+                ref_parts.append(Part(content=text, metadata={}))
+        use_chars = rng.random() < 0.3
+        tok = CTok() if use_chars else WTok()
+        chunk_size = rng.choice([30, 80, 200]) if use_chars else rng.choice([5, 8, 15, 40])
+        overlap = rng.choice([0, 2, 5])
+        ours = rechunk_parts(ours_parts, chunk_size, overlap, tok)
+        theirs = Rechunker(chunk_size=chunk_size, chunk_overlap=overlap, tokenizer=tok.encode)(
+            ref_parts
+        )
+        got = [(c["content"], c["titles"]) for c in ours]
+        want = [(p.content, p.metadata.get("titles") or []) for p in theirs]
+        assert got == want, (trial, chunk_size, overlap, use_chars, got[:3], want[:3])

@@ -85,7 +85,15 @@ def test_normalize_extracted_info():
     assert normalize_extracted_info("（x）") == "(x)"
     assert normalize_extracted_info("中 文") == "中文"
     assert normalize_extracted_info("中 文 abc") == "中文abc"
-    assert normalize_extracted_info("“中文”", is_entity=True) == "中文"
+    # the reference KEEPS curly quotes for entities: its source's curly-quote
+    # replaces are mangled into a triple-quoted string (utils.py:459), so
+    # only straight apostrophes (and the artifact substring) are removed —
+    # verified against the executing reference code (test_live_reference_fuzz)
+    assert normalize_extracted_info("“中文”", is_entity=True) == "“中文”"
+    assert normalize_extracted_info("O'Brien", is_entity=True) == "OBrien"
+    assert normalize_extracted_info("O'Brien", is_entity=False) == "O'Brien"
+    assert normalize_extracted_info('a, "").replace(b', is_entity=True) == "ab"
+    assert normalize_extracted_info("中'文", is_entity=True) == "中文"
 
 
 def test_entity_record_rules():
