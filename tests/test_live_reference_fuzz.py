@@ -166,3 +166,75 @@ def test_rechunker_fuzz_vs_reference():
         got = [(c["content"], c["titles"]) for c in ours]
         want = [(p.content, p.metadata.get("titles") or []) for p in theirs]
         assert got == want, (trial, chunk_size, overlap, use_chars, got[:3], want[:3])
+
+
+def _ref_async_handler(name: str):
+    """Extract an async record handler from operate.py and wire its
+    dependencies to the REFERENCE versions (also extracted), so the oracle
+    is end-to-end reference code."""
+    import asyncio
+    import logging
+
+    osrc = open(os.path.join(REF, "aperag/graph/lightrag/operate.py")).read()
+    m = re.search(
+        rf"^async def {name}\(.*?\n(?=\n(?:def |async def |class |@))",
+        osrc, re.DOTALL | re.M,
+    )
+    assert m, name
+    ns = {
+        "re": re,
+        "logger": logging.getLogger("ref"),
+        "clean_str": _ref_func("clean_str"),
+        "normalize_extracted_info": _ref_func("normalize_extracted_info"),
+        "is_float_regex": _ref_func("is_float_regex"),
+    }
+    exec(m.group(0), ns)  # noqa: S102 — test oracle, reference source
+    coro_fn = ns[name]
+
+    def run(record_attributes, chunk_key="chunk-1"):
+        return asyncio.run(coro_fn(record_attributes, chunk_key))
+
+    return run
+
+
+def test_record_handler_fuzz_vs_reference():
+    """E5/E6 record handlers — the drop rules that define triple P/R —
+    byte-identical to the executing reference on randomized adversarial
+    attribute lists (bad discriminators, short records, empty names/types/
+    descriptions, '(\"' poison, non-float weights, self-loops, CJK)."""
+    from aperag_spark.textproc import handle_single_entity, handle_single_relationship
+
+    ref_ent = _ref_async_handler("_handle_single_entity_extraction")
+    ref_rel = _ref_async_handler("_handle_single_relationship_extraction")
+
+    rng = random.Random(123)
+    atoms = [
+        '"entity"', '"relationship"', '"x"', "entity", '"A"', '"B"', '"a b"',
+        '""', "", " ", '"person"', '("', '("bad', '"中 文"', "'q'", '"7"',
+        '"7.5"', "-3", '"nan"', '"1e3"', '".5"', '"O\'Brien"', '"desc, text"',
+        '"，"',
+    ]
+    n_ent = n_rel = 0
+    for trial in range(2500):
+        k = rng.randint(0, 8)
+        attrs = [rng.choice(atoms) for _ in range(k)]
+        ours_e = handle_single_entity(attrs)
+        theirs_e = ref_ent(attrs)
+        if theirs_e is None:
+            assert ours_e is None, (trial, attrs, ours_e)
+        else:
+            assert ours_e is not None, (trial, attrs)
+            for f in ("entity_name", "entity_type", "description"):
+                assert ours_e[f] == theirs_e[f], (trial, attrs, f)
+            n_ent += 1
+        ours_r = handle_single_relationship(attrs)
+        theirs_r = ref_rel(attrs)
+        if theirs_r is None:
+            assert ours_r is None, (trial, attrs, ours_r)
+        else:
+            assert ours_r is not None, (trial, attrs)
+            for f in ("src_id", "tgt_id", "weight", "description", "keywords"):
+                assert ours_r[f] == theirs_r[f], (trial, attrs, f, ours_r[f], theirs_r[f])
+            n_rel += 1
+    # the fuzz must actually exercise the accept paths, not just the drops
+    assert n_ent > 15 and n_rel > 15, (n_ent, n_rel)
