@@ -118,13 +118,33 @@ def truncate_by_token_budget(
 
 
 def combine_contexts(*contexts: DataFrame) -> DataFrame:
-    """Q7: union context lists, dedupe on all non-id fields by first
-    occurrence, reassign sequential ids (utils.py:269-297)."""
-    out = contexts[0]
-    for c in contexts[1:]:
-        out = out.unionByName(c)
-    cols = [c for c in out.columns if c != "id"]
-    deduped = out.dropDuplicates(cols)
+    """Q7: union context lists, dedupe on all non-id fields keeping the
+    FIRST occurrence, reassign sequential ids (utils.py:269-297 —
+    process_combine_contexts preserves leg-then-list order, not content
+    order). Legs carrying an `_ord` column are ordered by it within their
+    leg (leg index = argument position, matching the reference's
+    hl-before-ll call order); frames without `_ord` fall back to the
+    legacy lexicographic content order. The windows run on the already
+    truncated/top-k'd context frames — bounded by construction."""
+    has_ord = all("_ord" in c.columns for c in contexts)
+    out = contexts[0].withColumn("_leg", F.lit(0))
+    for i, c in enumerate(contexts[1:], start=1):
+        out = out.unionByName(c.withColumn("_leg", F.lit(i)))
+    cols = [c for c in out.columns if c not in ("id", "_leg", "_ord")]
+    if has_ord:
+        w_first = Window.partitionBy(*cols).orderBy(F.asc("_leg"), F.asc("_ord"))
+        first = (
+            out.withColumn("_rn", F.row_number().over(w_first))
+            .where(F.col("_rn") == 1)
+        )
+        w_id = Window.orderBy(
+            F.asc("_leg"), F.asc("_ord"), *[F.asc(c) for c in cols]
+        )
+        return (
+            first.withColumn("id", F.row_number().over(w_id).cast("string"))
+            .drop("_rn", "_leg", "_ord")
+        )
+    deduped = out.dropDuplicates(cols).drop("_leg")
     w = Window.orderBy(*[F.asc(c) for c in cols])
     return deduped.withColumn("id", F.row_number().over(w).cast("string"))
 
@@ -326,9 +346,16 @@ def kg_query_context(
         gl = build_global_context(
             hl_text, entities, relations, chunks, relation_vdb_df, top_k, token_budget
         )
+        # leg order mirrors process_combine_contexts call order: hl (global)
+        # first, ll (local) second, vector leg last (operate.py:1224-1231);
+        # within-leg order = the leg's own retrieval rank
         chunk_sources = [
-            lo["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
-            gl["chunks"].select("chunk_id", "content").withColumn("id", F.lit("")),
+            gl["chunks"].select(
+                "chunk_id", "content", F.col("vdb_rank").cast("long").alias("_ord")
+            ).withColumn("id", F.lit("")),
+            lo["chunks"].select(
+                "chunk_id", "content", F.col("vdb_rank").cast("long").alias("_ord")
+            ).withColumn("id", F.lit("")),
         ]
         if mode == "mix":
             if chunk_vdb_df is None:
@@ -340,15 +367,23 @@ def kg_query_context(
                 query_text, chunks, chunk_vdb_df, top_k=top_k, token_budget=token_budget
             )
             chunk_sources.append(
-                naive.select("chunk_id", "content").withColumn("id", F.lit(""))
+                naive.select(
+                    "chunk_id", "content", F.col("rank").cast("long").alias("_ord")
+                ).withColumn("id", F.lit(""))
             )
         # combine (operate.py:1169-1231 hybrid, 1224-1231 mix): dedupe on
         # non-id fields, sequential re-id; vector leg contributes empty
         # entity/relation lists (operate.py:1200-1204), so entities and
         # relations combine identically in hybrid and mix
         ents = combine_contexts(
-            lo["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
-            gl["entities"].select("entity_id", "entity_type", "description").withColumn("id", F.lit("")),
+            gl["entities"].select(
+                "entity_id", "entity_type", "description",
+                F.col("vdb_rank").cast("long").alias("_ord"),
+            ).withColumn("id", F.lit("")),
+            lo["entities"].select(
+                "entity_id", "entity_type", "description",
+                F.col("vdb_rank").cast("long").alias("_ord"),
+            ).withColumn("id", F.lit("")),
         )
         chs = combine_contexts(*chunk_sources)
         rels = lo["relations"].select("src_id", "tgt_id", "weight").unionByName(

@@ -203,3 +203,24 @@ def test_keyword_mode_fallback_matrix(spark, graph):
     for mode, expect in [("global", "local"), ("hybrid", "local"), ("local", "local")]:
         ctx = kg_query_context(hl_empty_q, mode, entities, relations, chunks, evdb, rvdb, top_k=5)
         assert ctx["mode"] == expect, (mode, ctx["mode"])
+
+
+def test_combine_contexts_first_occurrence_leg_order(spark):
+    """utils.py:269-297 process_combine_contexts: dedupe keeps the FIRST
+    occurrence across legs in call order and ids are reassigned in that
+    same leg-then-rank order (verified against the reference function's
+    output on the same data)."""
+    from aperag_spark.operators.context import combine_contexts
+
+    # leg 0 (hl): [b, a] by rank; leg 1 (ll): [a, c] — reference output
+    # order: b, a, c (a deduped to its leg-0 occurrence)
+    hl = spark.createDataFrame(
+        [("", "b", 1), ("", "a", 2)], "id string, text string, _ord int"
+    )
+    ll = spark.createDataFrame(
+        [("", "a", 1), ("", "c", 2)], "id string, text string, _ord int"
+    )
+    out = combine_contexts(hl, ll).collect()
+    by_id = {int(r["id"]): r["text"] for r in out}
+    assert by_id == {1: "b", 2: "a", 3: "c"}
+    assert all("_ord" not in r.asDict() and "_leg" not in r.asDict() for r in out)
