@@ -238,3 +238,34 @@ def test_record_handler_fuzz_vs_reference():
             n_rel += 1
     # the fuzz must actually exercise the accept paths, not just the drops
     assert n_ent > 15 and n_rel > 15, (n_ent, n_rel)
+
+
+def test_truncate_semantics_vs_reference():
+    """Q6 boundary semantics: the reference's truncate_list_by_token_size
+    cuts BEFORE the element whose running total exceeds the budget — i.e.
+    keeps exactly the prefix with cumulative tokens ≤ budget, which is the
+    rule truncate_by_token_budget implements as a window cumsum. Fuzz the
+    two rules against each other, including budget ≤ 0 and exact-boundary
+    cases."""
+    ref = _ref_func("truncate_list_by_token_size")
+
+    class CountTok:
+        def encode(self, s):
+            return [0] * int(s)
+
+    rng = random.Random(5)
+    for trial in range(400):
+        sizes = [rng.randint(0, 7) for _ in range(rng.randint(0, 12))]
+        budget = rng.randint(-2, 25)
+        want = ref([str(n) for n in sizes], key=lambda x: x, max_token_size=budget,
+                   tokenizer=CountTok())
+        # the cumsum<=budget prefix rule (what the Spark window computes)
+        got, cum = [], 0
+        for n in sizes:
+            cum += n
+            if cum > budget:
+                break
+            got.append(str(n))
+        if budget <= 0:
+            assert want == []
+        assert got == want, (trial, sizes, budget, got, want)
