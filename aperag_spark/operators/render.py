@@ -238,6 +238,22 @@ def render_context_data(ctx: dict[str, Any]) -> str:
     """
 
 
+def render_naive_context_data(ctx: dict[str, Any]) -> str:
+    """naive only_need_context form (operate.py:1789-1796): one fenced JSON
+    block of chunk rows under a ---Document Chunks--- header, leading
+    newline and trailing blank line exactly as the reference's f-string."""
+    rows = text_units_context_rows(ctx["chunks"])
+    text_units_str = json.dumps(rows, ensure_ascii=False)
+    return f"""
+---Document Chunks---
+
+```json
+{text_units_str}
+```
+
+"""
+
+
 def render_rag_prompt(
     query_text: str,
     ctx: dict[str, Any],

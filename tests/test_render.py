@@ -172,3 +172,20 @@ def test_conversation_turns_formatting():
         {"role": "assistant", "content": "a"},
     ]
     assert get_conversation_turns(filtered, 5) == "user: q\nassistant: a"
+
+
+def test_naive_only_need_context_form(spark, graph):
+    """operate.py:1789-1796: the naive only_need_context string is a single
+    fenced chunk block with the reference's exact layout."""
+    from aperag_spark.operators.render import render_naive_context_data
+
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    ctx = kg_query_context(Q, "naive", entities, relations, chunks, evdb, rvdb,
+                           top_k=5, chunk_vdb_df=cvdb)
+    out = render_naive_context_data(ctx)
+    assert out.startswith("\n---Document Chunks---\n\n```json\n")
+    assert out.endswith("```\n\n")
+    body = re.search(r"```json\n(.*?)\n```", out, re.DOTALL).group(1)
+    rows = json.loads(body)
+    assert rows and all(list(r) == CHUNK_KEYS for r in rows)
+    assert [r["id"] for r in rows] == list(range(1, len(rows) + 1))
