@@ -392,7 +392,9 @@ def _parse_list(lines: list[str], start: int, depth: int = 0) -> tuple[list[dict
                 # lazy continuation (CommonMark §5.2, markdown-it paragraph
                 # laziness): an unindented plain line directly after item
                 # paragraph text stays in the paragraph; block starters
-                # (heading/fence/hr/quote/list/setext) interrupt instead
+                # (heading/fence/hr/quote/list/setext/html-block/table —
+                # all registered as paragraph interrupters in markdown-it)
+                # interrupt instead
                 if body and body[-1].strip() and not (
                     nm
                     or _ATX_RE.match(ln.strip())
@@ -400,6 +402,13 @@ def _parse_list(lines: list[str], start: int, depth: int = 0) -> tuple[list[dict
                     or _HR_RE.match(ln)
                     or _SETEXT_RE.match(ln)
                     or ln.lstrip().startswith(">")
+                    or _HTML_BLOCK_RE.match(ln)
+                    or (
+                        "|" in ln
+                        and i + 1 < n
+                        and _TABLE_DELIM_RE.match(lines[i + 1])
+                        and "|" in lines[i + 1]
+                    )
                 ):
                     body.append(ln.strip())
                     i += 1

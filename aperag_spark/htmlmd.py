@@ -123,6 +123,15 @@ def _render_inline(node, out: list[str]) -> None:
                 out.append(f'![{alt}]({src} "{title}")')
             else:
                 out.append(f"![{alt}]({src})")
+        elif t in _BLOCK:
+            # block element inside an inline context (multi-paragraph <li>,
+            # <p> in a table cell): its text must not glue onto the
+            # surrounding words — separate with line breaks (the list
+            # renderer indents continuation lines; the table renderer turns
+            # them into <br>)
+            out.append("\n")
+            _render_inline(ch, out)
+            out.append("\n")
         else:
             # unknown/other inline tag: transparent passthrough
             _render_inline(ch, out)

@@ -386,9 +386,33 @@ def kg_query_context(
             ).withColumn("id", F.lit("")),
         )
         chs = combine_contexts(*chunk_sources)
-        rels = lo["relations"].select("src_id", "tgt_id", "weight").unionByName(
-            gl["relations"].select("src_id", "tgt_id", "weight")
-        ).dropDuplicates(["src_id", "tgt_id"])
+        # relations combine like the other sections: hl leg first, real
+        # metadata carried through (reference relations_context rows keep
+        # description/keywords/weight/rank, operate.py:1335-1357); the hl
+        # leg's rank = edge degree like _get_edge_data (operate.py:1571)
+        from aperag_spark.operators.graph_query import edge_degree
+
+        gl_rank = edge_degree(relations)
+        gl_leg = (
+            gl["relations"]
+            .join(gl_rank, ["src_id", "tgt_id"], "left")
+            .select(
+                "src_id", "tgt_id", "description", "keywords", "weight",
+                F.coalesce(F.col("edge_degree"), F.lit(0)).cast("long").alias("rank"),
+                F.col("vdb_rank").cast("long").alias("_ord"),
+            )
+            .withColumn("id", F.lit(""))
+        )
+        lo_leg = (
+            lo["relations"]
+            .select(
+                "src_id", "tgt_id", "description", "keywords", "weight",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("order").cast("long").alias("_ord"),
+            )
+            .withColumn("id", F.lit(""))
+        )
+        rels = combine_contexts(gl_leg, lo_leg)
         return {"entities": ents, "relations": rels, "chunks": chs, "mode": mode}
     if mode == "naive":
         if chunk_vdb_df is None:

@@ -33,33 +33,48 @@ from pyspark.sql import DataFrame
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-_HAN_LO, _HAN_HI = "一", "鿿"
+# CJK script ranges covered by the bigram analyzer: Han, hiragana,
+# katakana (incl. prolonged-sound marks block), hangul syllables — the
+# scripts the Lucene `cjk` analyzer bigrams. Ordered low→high per range.
+_CJK_CLASS = "一-鿿ぁ-ゟ゠-ヿ가-힣"
+_CJK_RANGES = [("一", "鿿"), ("ぁ", "ゟ"), ("゠", "ヿ"), ("가", "힣")]
 CJK_LANGS = ("zh", "ja", "ko")
+
+
+def _is_cjk_char(c: str) -> bool:
+    return any(lo <= c <= hi for lo, hi in _CJK_RANGES)
 
 
 def analyze_col(col, cjk: bool = False):
     """lowercase, split on non-word runs, drop empties → array<string>.
 
-    cjk=True ("ik-lite", fulltext_index.py:286 stand-in): Han runs are
-    isolated and expanded to overlapping character bigrams (single chars
-    stand alone); non-Han segments keep the standard behavior. All
-    JVM-side expressions — the Han check is a codepoint range compare on
-    the first char, not a per-token regex."""
+    The standard analyzer's word class is the JVM's ASCII \\w — a documented
+    simplification of the ES standard analyzer (accented words tokenize at
+    the accent on BOTH index and query side, so retrieval is consistent).
+
+    cjk=True ("ik-lite", fulltext_index.py:286 stand-in): CJK-script runs
+    (Han, kana, hangul) are isolated and expanded to overlapping character
+    bigrams (single chars stand alone); other segments keep the standard
+    behavior. All JVM-side expressions — the script check is a codepoint
+    range compare on the first char, not a per-token regex."""
     if not cjk:
         return F.filter(F.split(F.lower(col), r"[^\w]+"), lambda w: w != "")
-    isolated = F.regexp_replace(F.lower(col), f"([{_HAN_LO}-{_HAN_HI}]+)", " $1 ")
+    isolated = F.regexp_replace(F.lower(col), f"([{_CJK_CLASS}]+)", " $1 ")
     toks = F.filter(
-        F.split(isolated, f"[^\\w{_HAN_LO}-{_HAN_HI}]+"), lambda w: w != ""
+        F.split(isolated, f"[^\\w{_CJK_CLASS}]+"), lambda w: w != ""
     )
 
     def _expand(t):
         first = F.substring(t, 1, 1)
-        is_han = (first >= F.lit(_HAN_LO)) & (first <= F.lit(_HAN_HI))
+        is_cjk = None
+        for lo, hi in _CJK_RANGES:
+            cond = (first >= F.lit(lo)) & (first <= F.lit(hi))
+            is_cjk = cond if is_cjk is None else (is_cjk | cond)
         bigrams = F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
             lambda i: t.substr(i, F.lit(2)),
         )
-        return F.when(is_han, bigrams).otherwise(F.array(t))
+        return F.when(is_cjk, bigrams).otherwise(F.array(t))
 
     return F.flatten(F.transform(toks, _expand))
 
@@ -67,21 +82,22 @@ def analyze_col(col, cjk: bool = False):
 def analyze_keywords(keywords: list[str], cjk: bool = False) -> list[str]:
     """Driver-side mirror of analyze_col for the (tiny) query keyword list —
     the search analyzer must tokenize queries exactly like the index
-    analyzer (ES search_analyzer=ik_smart, fulltext_index.py:286)."""
+    analyzer (ES search_analyzer=ik_smart, fulltext_index.py:286). Mirrors
+    the JVM's ASCII \\w via re.ASCII so both sides agree on every corpus."""
     out: list[str] = []
     for k in keywords:
         k = k.lower()
-        segments = re.split(f"([{_HAN_LO}-{_HAN_HI}]+)", k) if cjk else [k]
+        segments = re.split(f"([{_CJK_CLASS}]+)", k) if cjk else [k]
         for seg in segments:
             if not seg:
                 continue
-            if cjk and _HAN_LO <= seg[0] <= _HAN_HI:
+            if cjk and _is_cjk_char(seg[0]):
                 if len(seg) == 1:
                     out.append(seg)
                 else:
                     out.extend(seg[i : i + 2] for i in range(len(seg) - 1))
             else:
-                out.extend(t for t in re.split(r"[^\w]+", seg) if t)
+                out.extend(t for t in re.split(r"[^\w]+", seg, flags=re.ASCII) if t)
     return out
 
 
@@ -141,11 +157,18 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # query terms go through the same analyzer as the index (cjk=True →
-    # Han bigrams), so a Chinese phrase matches its indexed bigrams
-    terms_list = sorted(set(analyze_keywords(keywords, cjk=cjk)))
-    if not terms_list:
+    # CJK bigrams), so a Chinese phrase matches its indexed bigrams.
+    # minimum_should_match counts per-KEYWORD clauses (fulltext_index.py:
+    # 206-210 builds one match clause per keyword): a clause matches when
+    # ANY of its analyzed tokens matches, so the token→clause map is kept.
+    pairs: list[tuple[str, int]] = []
+    for ci, k in enumerate(keywords):
+        for t in sorted(set(analyze_keywords([k], cjk=cjk))):
+            pairs.append((t, ci))
+    if not pairs:
         raise ValueError("keywords analyzed to nothing")
-    kw = spark.createDataFrame([(t,) for t in terms_list], "term string")
+    kwmap = spark.createDataFrame(pairs, "term string, clause int")
+    kw = kwmap.select("term").distinct()
     df_by_term = (
         index["postings"]
         .join(F.broadcast(kw), "term", "left_semi")
@@ -168,13 +191,19 @@ def bm25_search(
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     scored = matched.withColumn("term_score", idf * tf_norm)
-    required = int(math.floor(min_should_match * len(terms_list)))
+    # ES truncates percentage minimums; denominator = number of KEYWORDS
+    # (match clauses), not analyzed tokens
+    required = int(math.floor(min_should_match * len(keywords)))
+    clause_hits = (
+        scored.select("id", "term")
+        .join(F.broadcast(kwmap), "term")
+        .groupBy("id")
+        .agg(F.countDistinct("clause").cast("int").alias("matched"))
+    )
     per_doc = (
         scored.groupBy("id")
-        .agg(
-            F.round(F.sum("term_score"), 4).alias("score"),
-            F.countDistinct("term").cast("int").alias("matched"),
-        )
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .join(clause_hits, "id")
         .where(F.col("matched") >= max(required, 1))
     )
     order = [F.desc("score"), F.asc("id")]

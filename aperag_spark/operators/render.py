@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 # prompt.py:241-273, verbatim
@@ -145,13 +146,25 @@ def _get(row: dict, key: str, default: Any) -> Any:
     return default if v is None else v
 
 
+def _order_by(df, order_col, fallback: str):
+    """Sort by the frame's order column; a combined context's `id` column is
+    a NUMERIC STRING (combine_contexts re-ids "1".."n"), so it sorts as an
+    int — lexicographic ordering would scramble rows past 9 and break the
+    reference's sequential-id invariant."""
+    if order_col is None:
+        return df.orderBy(fallback)
+    if order_col == "id":
+        return df.orderBy(F.col("id").cast("int"))
+    return df.orderBy(order_col)
+
+
 def entities_context_rows(entities: DataFrame) -> list[dict]:
     """operate.py:1313-1333: sequential ids, reference key set, defaults."""
     order_col = next(
         (c for c in ("order", "id", "vdb_rank", "rank") if c in entities.columns),
         None,
     )
-    df = entities.orderBy(order_col) if order_col else entities.orderBy("entity_id")
+    df = _order_by(entities, order_col, "entity_id")
     rows = [r.asDict() for r in df.collect()]
     return [
         {
@@ -172,11 +185,7 @@ def relations_context_rows(relations: DataFrame) -> list[dict]:
     order_col = next(
         (c for c in ("order", "id", "vdb_rank") if c in relations.columns), None
     )
-    df = (
-        relations.orderBy(order_col)
-        if order_col
-        else relations.orderBy("src_id", "tgt_id")
-    )
+    df = _order_by(relations, order_col, "src_id")
     rows = [r.asDict() for r in df.collect()]
     return [
         {
@@ -199,7 +208,7 @@ def text_units_context_rows(chunks: DataFrame) -> list[dict]:
     order_col = next(
         (c for c in ("id", "vdb_rank", "rank") if c in chunks.columns), None
     )
-    df = chunks.orderBy(order_col) if order_col else chunks.orderBy("chunk_id")
+    df = _order_by(chunks, order_col, "chunk_id")
     rows = [r.asDict() for r in df.collect()]
     return [
         {
@@ -241,8 +250,14 @@ def render_context_data(ctx: dict[str, Any]) -> str:
 def render_naive_context_data(ctx: dict[str, Any]) -> str:
     """naive only_need_context form (operate.py:1789-1796): one fenced JSON
     block of chunk rows under a ---Document Chunks--- header, leading
-    newline and trailing blank line exactly as the reference's f-string."""
+    newline and trailing blank line exactly as the reference's f-string.
+    An empty chunk context short-circuits to the fail response BEFORE the
+    context return, exactly like naive_query (operate.py:1784-1786)."""
     rows = text_units_context_rows(ctx["chunks"])
+    if not rows:
+        from aperag_spark.operators.context import FAIL_RESPONSE
+
+        return FAIL_RESPONSE
     text_units_str = json.dumps(rows, ensure_ascii=False)
     return f"""
 ---Document Chunks---

@@ -193,3 +193,17 @@ def test_nesting_depth_cap_terminates():
     md = ">" * 200 + " deep payload"
     parts = parse_md(md)
     assert any("deep payload" in (p["content"] or "") for p in parts if p["kind"] == "text")
+
+
+def test_html_block_and_table_interrupt_list_item():
+    """Review finding: html blocks and GFM tables are paragraph interrupters
+    in markdown-it (parse_md.py:295-301, 393-430) — they must END a list
+    item's lazy paragraph, not be absorbed into it."""
+    parts = _blocks("- item\n<div>x</div>")
+    texts = [p["content"] for p in parts if p["kind"] == "text"]
+    assert "- item" in texts
+    assert "<div>x</div>" in texts  # its own raw html TextPart
+    parts2 = _blocks("- item\n| a | b |\n|---|---|\n| 1 | 2 |")
+    texts2 = [p["content"] for p in parts2 if p["kind"] == "text"]
+    assert "- item" in texts2
+    assert any(t.startswith("| a | b |") for t in texts2)

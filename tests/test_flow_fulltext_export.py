@@ -160,3 +160,47 @@ def test_cjk_bigram_analyzer_bm25(spark):
     # English doc still reachable through the standard analyzer
     out3 = bm25_search(idx, ["machine", "learning"], topk=2).collect()
     assert out3 and out3[0]["id"] == 3
+
+
+def test_korean_and_kana_index_and_search(spark):
+    """Review finding: the CJK analyzer only covered Han — hangul/kana were
+    silently dropped from the index while kept as query terms, so every ko
+    search returned nothing. All three scripts now index as bigrams and
+    retrieve."""
+    from aperag_spark.operators.fulltext import analyze_keywords, bm25_search, build_fulltext_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "한국어 문서 검색 테스트", "ko"),
+            (2, "カタカナのテキスト", "ja"),
+            (3, "ひらがな だけ の ぶん", "ja"),
+            (4, "plain english text", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    idx = build_fulltext_index(docs, lang_col="lang")
+    assert analyze_keywords(["한국어"], cjk=True) == ["한국", "국어"]
+    out = bm25_search(idx, ["한국어"], topk=2, cjk=True).collect()
+    assert out and out[0]["id"] == 1
+    out2 = bm25_search(idx, ["カタカナ"], topk=2, cjk=True).collect()
+    assert out2 and out2[0]["id"] == 2
+    out3 = bm25_search(idx, ["ひらがな"], topk=2, cjk=True).collect()
+    assert out3 and out3[0]["id"] == 3
+
+
+def test_min_should_match_counts_keyword_clauses(spark):
+    """Review finding: ES applies minimum_should_match to per-KEYWORD match
+    clauses (fulltext_index.py:206-210), a clause matching if ANY of its
+    analyzed tokens matches — not to the flattened token set."""
+    from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
+
+    docs = spark.createDataFrame(
+        [(1, "machine learning rocks"), (2, "neural networks rock"), (3, "unrelated")],
+        "doc_id bigint, text string",
+    )
+    idx = build_fulltext_index(docs)
+    # 2 keywords → floor(0.8*2)=1 clause required; doc 1 matches the first
+    # clause fully and must be returned even though it has 2 of 4 tokens
+    out = bm25_search(idx, ["machine learning", "neural networks"], topk=3).collect()
+    ids = {r["id"] for r in out}
+    assert 1 in ids and 2 in ids and 3 not in ids

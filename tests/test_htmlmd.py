@@ -123,3 +123,12 @@ def test_adversarial_deep_nesting_is_total():
     deep_q = "<blockquote>" * 50_000 + "<p>quoted</p>" + "</blockquote>" * 50_000
     out2 = html_to_markdown(deep_q)
     assert "quoted" in out2
+
+
+def test_block_elements_inside_inline_contexts_keep_boundaries():
+    """Review finding: <p> blocks inside <li>/<td> glued words together
+    ('FirstSecond'); block elements in inline contexts must separate."""
+    assert html_to_markdown("<ul><li><p>First</p><p>Second</p></li></ul>") == "- First\n  \n  Second"
+    out = html_to_markdown("<table><tr><td><p>a</p><p>b</p></td><td>c</td></tr></table>")
+    assert "a<br><br>b" in out  # cell newlines become <br> (GFM cells)
+    assert "ab" not in out.replace("<br>", " ")

@@ -189,3 +189,47 @@ def test_naive_only_need_context_form(spark, graph):
     rows = json.loads(body)
     assert rows and all(list(r) == CHUNK_KEYS for r in rows)
     assert [r["id"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_context_rows_order_numeric_ids(spark):
+    """Combined contexts carry NUMERIC-STRING ids; rendering must order them
+    as ints — 12 rows must come out 1..12, not 1,10,11,12,2,... (review
+    finding: lexicographic id sort scrambled hybrid contexts past 9 rows)."""
+    from aperag_spark.operators.render import text_units_context_rows
+
+    df = spark.createDataFrame(
+        [(str(i), f"c{i:02d}") for i in range(1, 13)], "id string, chunk_id string"
+    ).withColumn("content", F.col("chunk_id"))
+    rows = text_units_context_rows(df)
+    assert [r["content"] for r in rows] == [f"c{i:02d}" for i in range(1, 13)]
+    assert [r["id"] for r in rows] == list(range(1, 13))
+
+
+def test_naive_only_need_context_empty_is_fail(spark, graph):
+    """operate.py:1784-1786: empty chunk context short-circuits to the fail
+    response before the only_need_context return."""
+    from aperag_spark.operators.render import render_naive_context_data
+
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    ctx = {"chunks": chunks.limit(0)}
+    assert render_naive_context_data(ctx) == FAIL_RESPONSE
+
+
+def test_hybrid_relations_carry_metadata_and_leg_order(spark, graph):
+    """Hybrid relations combine like the other sections: real description/
+    keywords/weight/rank carried through, ids sequential in leg-then-rank
+    order (review finding: previously bare (src,tgt,weight) in content
+    order, rendering UNKNOWN metadata)."""
+    entities, relations, chunks, evdb, rvdb, cvdb = graph
+    hy = kg_query_context(Q, "hybrid", entities, relations, chunks, evdb, rvdb, top_k=10)
+    rows = hy["relations"].collect()
+    assert rows
+    assert {"description", "keywords", "weight", "rank", "id"} <= set(rows[0].asDict())
+    ids = sorted(int(r["id"]) for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    assert any(r["description"] for r in rows) and all(r["rank"] >= 0 for r in rows)
+    rendered = render_context_data(hy)
+    blocks = _blocks(rendered)
+    # rendered relation rows now show real metadata, not UNKNOWN defaults
+    assert any(r["description"] != "UNKNOWN" for r in blocks["relations"])
+    assert any(r["rank"] > 0 for r in blocks["relations"])
