@@ -451,17 +451,22 @@ def parse_md(input_md: str) -> list[dict]:
 
 def parts_for_rechunk(parts: list[dict]) -> list[dict]:
     """Adapt a Part stream to the rechunker's input contract
-    (operators/rechunk.rechunk_parts). Reference chunking.py:51-71:
-    markdown/asset parts are not chunk items; a TitlePart creates a group
-    only at nesting 0 (chunking.py:66-67 — 'titles within lower-level
-    nesting will not create new groups'), and the group title is the FULL
-    title content including its '#' markup (chunking.py:57-59)."""
+    (operators/rechunk.rechunk_parts). Reference chunking.py:46-74:
+    markdown/asset/image parts are not chunk items; TitleParts keep their
+    level AND nesting — the grouping rule lives in the rechunker (a nested
+    title opens a group only when it is the very first part, exactly like
+    _to_groups' curr_group-is-None branch preceding the nesting check), and
+    the group title is the FULL title content including its '#' markup
+    (chunking.py:57-59)."""
     out = []
     for p in parts:
-        if p["kind"] in ("markdown", "asset") or not p["content"]:
+        if p["kind"] in ("markdown", "asset", "image") or not p["content"]:
             continue
-        if p["kind"] == "title" and p["nesting"] == 0:
-            out.append({"kind": "title", "level": p["level"], "content": p["content"]})
+        if p["kind"] == "title":
+            out.append({
+                "kind": "title", "level": p["level"], "content": p["content"],
+                "nesting": p.get("nesting", 0),
+            })
         else:
             out.append({"kind": "text", "level": 0, "content": p["content"]})
     return out

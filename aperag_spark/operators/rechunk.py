@@ -144,7 +144,10 @@ def rechunk_parts(
     splitter = SemanticSplitter(tok)
     ntok = lambda s: len(tok.encode(s))
 
-    # group on titles (chunking.py:46-74)
+    # group on titles (chunking.py:46-74). Note the reference's exact rule
+    # order: the first part ALWAYS opens the group with its title/level —
+    # even a nested title — and only AFTER that do nested titles
+    # (nesting != 0) stop opening new groups (chunking.py:61-70).
     groups: list[dict] = []
     cur = None
     for part in parts:
@@ -152,11 +155,16 @@ def rechunk_parts(
             continue
         level = part["level"] if part["kind"] == "title" else 0
         title = part["content"] if part["kind"] == "title" else ""
-        if cur is None or level > 0:
+        nesting = part.get("nesting", 0)
+        if cur is None:
             cur = {"level": level, "title": title, "items": [part]}
             groups.append(cur)
-        else:
+            continue
+        if level == 0 or nesting != 0:
             cur["items"].append(part)
+            continue
+        cur = {"level": level, "title": title, "items": [part]}
+        groups.append(cur)
 
     result: list[dict] = []
     title_stack: list[tuple[str, int]] = []

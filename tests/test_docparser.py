@@ -79,14 +79,14 @@ def test_blockquote_prefix_and_nested_title():
     parts = _blocks(MD)
     quoted = [p for p in parts if p["content"] and p["content"].startswith("> ")]
     assert any(p["content"] == "> quote line" for p in quoted)
-    # the nested heading keeps its TitlePart kind but nesting=1 — the
-    # rechunker must NOT open a group for it (chunking.py:66-67)
+    # the nested heading keeps its TitlePart kind with nesting=1 — the
+    # rechunker must NOT open a group for it mid-stream (chunking.py:66-70;
+    # grouping rule lives in rechunk_parts, nesting travels on the part)
     nt = [p for p in parts if p["kind"] == "title" and p["nesting"] == 1]
     assert len(nt) == 1 and nt[0]["content"] == "> ## nested title"
     rk = parts_for_rechunk(parse_md(MD))
-    assert all(
-        not (r["kind"] == "title" and r["content"] == "> ## nested title") for r in rk
-    )
+    nested = [r for r in rk if r.get("nesting") == 1 and r["kind"] == "title"]
+    assert len(nested) == 1 and nested[0]["content"] == "> ## nested title"
 
 
 def test_table_rendering():

@@ -149,8 +149,16 @@ def test_rechunker_fuzz_vs_reference():
             if rng.random() < 0.3:
                 lvl = rng.randint(1, 4)
                 text = "#" * lvl + " " + _rand_text(rng, rng.randint(0, 4))
-                ours_parts.append({"kind": "title", "level": lvl, "content": text})
-                ref_parts.append(TitlePart(content=text, level=lvl))
+                if rng.random() < 0.25:
+                    # nested title: opens a group ONLY as the very first
+                    # part (chunking.py:61-70 — the None-group branch
+                    # precedes the nesting check)
+                    ours_parts.append({"kind": "title", "level": lvl,
+                                       "content": text, "nesting": 1})
+                    ref_parts.append(TitlePart(content=text, level=lvl, metadata={"nesting": 1}))
+                else:
+                    ours_parts.append({"kind": "title", "level": lvl, "content": text})
+                    ref_parts.append(TitlePart(content=text, level=lvl))
             else:
                 text = _rand_text(rng, rng.randint(0, 15))
                 ours_parts.append({"kind": "text", "level": 0, "content": text})
