@@ -151,13 +151,28 @@ class KGEngine:
             history_turns=history_turns,
         )
 
-    def fulltext_search(self, keywords: list[str], topk: int = 3) -> DataFrame:
+    def fulltext_search(
+        self, keywords: list[str], topk: int = 3, cjk: bool = False
+    ) -> DataFrame:
+        """BM25 search over the chunk index (fulltext_index.py:198-233);
+        cjk=True analyzes both index and query with the CJK bigram
+        analyzer (ik_max_word/ik_smart stand-in)."""
         from aperag_spark.operators.fulltext import bm25_search, build_fulltext_index
 
+        key = "cjk" if cjk else "std"
         if self._ft_index is None:
-            idx = build_fulltext_index(self.chunks, id_col="chunk_id", text_col="content")
-            self._ft_index = {k: v.localCheckpoint() for k, v in idx.items()}
-        return bm25_search(self._ft_index, keywords, topk=topk)
+            self._ft_index = {}
+        if key not in self._ft_index:
+            chunks = self.chunks
+            if cjk:
+                chunks = chunks.withColumn("_lang", F.lit("zh"))
+                idx = build_fulltext_index(
+                    chunks, id_col="chunk_id", text_col="content", lang_col="_lang"
+                )
+            else:
+                idx = build_fulltext_index(chunks, id_col="chunk_id", text_col="content")
+            self._ft_index[key] = {k: v.localCheckpoint() for k, v in idx.items()}
+        return bm25_search(self._ft_index[key], keywords, topk=topk, cjk=cjk)
 
     # -- maintenance ------------------------------------------------------
 
