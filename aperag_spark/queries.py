@@ -892,6 +892,143 @@ FROM sizes GROUP BY seed
 """
 
 
+CHAR_NGRAM_N = 5
+NGRAM_ANCHORS = 8  # smallest-md5 grams used as blocking anchors per doc
+NGRAM_BUCKET_CAP = 64  # boilerplate-anchor guard, same rationale as MINHASH_BUCKET_CAP
+NGRAM_JACCARD_T = 0.5
+
+
+def _char_gram_col():
+    """Distinct lowercase character 5-grams as array<string> — built with
+    chained zip_with over shifted char-array slices (each level in its own
+    projection with its own lambda names): the transform(sequence, i ->
+    substring(text, i, n)) form would re-evaluate the outer text expression
+    per element once the optimizer collapses projections (the O(len²) HOF
+    pitfall documented on _shingle_col)."""
+    cs = F.split(F.lower(F.col("text")), "")
+
+    def _sl(k):
+        return F.slice(cs, k + 1, F.greatest(F.size(cs) - k, F.lit(1)))
+
+    g2 = F.zip_with(cs, _sl(1), lambda a1, b1: F.concat(a1, b1))
+    g3 = F.zip_with(g2, _sl(2), lambda a2, b2: F.concat(a2, b2))
+    g4 = F.zip_with(g3, _sl(3), lambda a3, b3: F.concat(a3, b3))
+    g5 = F.zip_with(g4, _sl(4), lambda a4, b4: F.concat(a4, b4))
+    return F.array_distinct(
+        F.filter(g5, lambda x: x.isNotNull() & (F.length(x) == CHAR_NGRAM_N))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character-n-gram Jaccard near-dup (the brief's fourth dedup family,
+    distinct from word-shingle MinHash): per doc, the NGRAM_ANCHORS
+    smallest-md5 character 5-grams act as blocking anchors (an inverted
+    anchor index, the classic rare-feature blocking); docs sharing an
+    anchor become candidate pairs (bucket-capped like MinHash-LSH), then
+    exact Jaccard over md5-prefix gram tokens keeps pairs ≥ 0.5.
+
+    Scale shape: anchor explode is narrow; the pair-gen aggregation is the
+    same bounded Σ bucket² as q_dedup_minhash_candidates; the verify join
+    ships fixed-width tokens, never text."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", _char_gram_col().alias("grams"))
+        .where(F.size("grams") >= 1)
+    )
+    # one hashed representation (16-hex md5 prefixes) drives BOTH the anchor
+    # selection and the verify join; materialized once — the gram build is
+    # the expensive part and is otherwise re-evaluated by every consumer
+    hs = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("grams", lambda s: F.substring(F.md5(s), 1, 16))
+        ).alias("hs"),
+    ).localCheckpoint()
+    anchors = hs.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("hs"), 1, NGRAM_ANCHORS)).alias("anchor"),
+    )
+    buckets = (
+        anchors.groupBy("anchor")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
+        .where((F.size("members") > 1) & (F.size("members") <= NGRAM_BUCKET_CAP))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("members") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("members"), i + 1, F.size("members")),
+                            lambda m: F.struct(
+                                F.element_at("members", i).alias("doc_a"),
+                                m.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
+        .join(hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= NGRAM_JACCARD_T)
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, length(lower(text)) - {CHAR_NGRAM_N - 1}),
+           i -> substr(lower(text), i, {CHAR_NGRAM_N})
+         )) AS grams
+  FROM documents
+  WHERE length(lower(text)) >= {CHAR_NGRAM_N}
+),
+hs AS (
+  SELECT doc_id, list_distinct(list_transform(grams, s -> substr(md5(s), 1, 16))) AS hs
+  FROM g
+),
+anch AS (
+  SELECT doc_id, unnest(
+    list_slice(list_sort(hs), 1, {NGRAM_ANCHORS})
+  ) AS anchor FROM hs
+),
+ok_anchors AS (
+  SELECT anchor FROM anch GROUP BY anchor
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {NGRAM_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM anch x JOIN anch y ON x.anchor = y.anchor
+  JOIN ok_anchors ob ON x.anchor = ob.anchor
+  WHERE x.doc_id < y.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE
+               / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+  FROM pairs JOIN hs a ON pairs.doc_a = a.doc_id JOIN hs b ON pairs.doc_b = b.doc_id
+)
+WHERE jaccard >= {NGRAM_JACCARD_T}
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per doc: per-word 32-bit hash
     (md5-derived, portable), occurrence-weighted bit vote, vote sign →
@@ -1800,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_minhash_bucket_stats": q_dedup_minhash_bucket_stats,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk": q_sim_topk,
@@ -1837,6 +1975,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
     "dedup_minhash_bucket_stats": ORACLE_DEDUP_MINHASH_BUCKET_STATS,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "sim_topk": ORACLE_SIM_TOPK,
