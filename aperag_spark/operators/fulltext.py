@@ -28,6 +28,7 @@ import math
 import re
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame
 
 BM25_K1 = 1.2
@@ -107,6 +108,7 @@ def build_fulltext_index(
     text_col: str = "text",
     lang_col: str | None = None,
     cjk_langs: tuple[str, ...] = CJK_LANGS,
+    materialize: bool = False,
 ) -> dict[str, DataFrame]:
     """S8: docs → {postings, doclens}. postings has one row per (term, doc)
     with the term frequency; doclens carries each doc's analyzed length.
@@ -131,6 +133,18 @@ def build_fulltext_index(
     terms = docs.select(F.col(id_col).alias("id"), F.explode(analyzed).alias("term"))
     postings = terms.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
     doclens = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    if materialize:
+        # bm25_search's plan references postings twice (df + scoring) and
+        # doclens twice (stats + norm); left lazy, the analyze+explode+
+        # groupBy re-runs for every reference. The production path persists
+        # the index through the S8 sink (a parquet scan is naturally
+        # shared); this flag checkpoints a derived-in-query index instead.
+        # Only worth it when the corpus is large relative to the probe:
+        # measured at sf0.1 (5k short docs) the two checkpoint jobs cost
+        # MORE than the re-derivation (interleaved best-of-4: 2.30s vs
+        # 1.83s lazy), so the bench queries stay lazy.
+        postings = postings.localCheckpoint()
+        doclens = doclens.localCheckpoint()
     return {"postings": postings, "doclens": doclens}
 
 
@@ -206,13 +220,5 @@ def bm25_search(
         .join(clause_hits, "id")
         .where(F.col("matched") >= max(required, 1))
     )
-    order = [F.desc("score"), F.asc("id")]
-    from pyspark.sql import Window
-
-    w = Window.orderBy(*order)
     # orderBy+limit → TakeOrderedAndProject; rank assigned on the k survivors
-    return (
-        per_doc.orderBy(*order)
-        .limit(topk)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-    )
+    return rank_bounded(per_doc, [("score", "desc"), ("id", "asc")], k=topk)
