@@ -232,10 +232,18 @@ def ivf_assign(
         for pdf in batches:
             mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # argmax over ROUND-6 cosine with lowest-centroid-id tiebreak
+            # (np.argmax returns the first maximum): the cross-engine
+            # determinism contract — a DuckDB oracle computing
+            # round(list_cosine_similarity(raw, raw), 6) lands on the same
+            # float64, so assignment is bit-agreed instead of hanging on
+            # the last bit of two differently-associated dot products.
             yield pd.DataFrame(
                 {
                     "vec_id": np.asarray(pdf[id_col], dtype=np.int64),
-                    "centroid_id": np.argmax(mat @ cent.T, axis=1).astype(np.int32),
+                    "centroid_id": np.argmax(
+                        np.round(mat @ cent.T, 6), axis=1
+                    ).astype(np.int32),
                 }
             )
 
@@ -254,19 +262,30 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int = 4096,
 ) -> DataFrame:
     """IVF search: per query, probe the nprobe centroids nearest its vector,
     exact-cosine the union of those posting lists, window top-k. Work per
-    query ≈ nprobe/n_centroids of the corpus instead of all of it."""
+    query ≈ nprobe/n_centroids of the corpus instead of all of it.
+
+    sample_cap == n_centroids with n_iters=0 degenerates training to "the
+    n_centroids smallest-md5(vec_id) vectors ARE the quantizer" — no rng,
+    no Lloyd — which is the SQL-expressible configuration the DuckDB
+    oracle (queries.q_sim_ann_ivf) rebuilds to check the assignment +
+    probe + top-k machinery end-to-end."""
     centroids = ivf_train_centroids(
-        emb, n_centroids, n_iters, seed, id_col=id_col, vec_col=vec_col
+        emb, n_centroids, n_iters, seed, sample_cap, id_col=id_col, vec_col=vec_col
     )
     lists = ivf_assign(emb, centroids, id_col, vec_col)
 
     q_rows = emb.where(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     qmat = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    order = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # same round-6 + lowest-id tiebreak contract as ivf_assign (stable
+    # argsort keeps ascending centroid order within a rounded tie)
+    order = np.argsort(
+        -np.round(qmat @ centroids.T, 6), axis=1, kind="stable"
+    )[:, :nprobe]
     probe_rows = [
         (int(r[id_col]), int(c)) for r, cs in zip(q_rows, order) for c in cs
     ]

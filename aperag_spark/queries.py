@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, SparkSession, Window
 
 # The tokenizer regex, shared verbatim with the DuckDB oracles (RE2 and Java
@@ -318,10 +319,8 @@ def q_kg_top_entities(spark, sf_dir):
     # heap + driver merge of k rows), NOT a global row_number window that
     # funnels the whole entity table through one task. The rank column is
     # then assigned on the 20 surviving rows only.
-    order = [F.desc("degree"), F.desc("total_weight"), F.asc("entity")]
-    top = agg.orderBy(*order).limit(20)
-    w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+    keys = [("degree", "desc"), ("total_weight", "desc"), ("entity", "asc")]
+    return rank_bounded(agg, keys, k=20, rank_type="bigint").select(
         "rank", "entity", "degree", "total_weight"
     )
 
@@ -1446,6 +1445,97 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+ANN_IVF_CENTROIDS = 16
+ANN_IVF_NPROBE = 4
+ANN_IVF_K = 10
+ANN_IVF_QUERY_IDS = [1, 2, 3, 4]
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/ann.ivf_topk) in its SQL-expressible
+    configuration: the coarse quantizer is FIXED as the ANN_IVF_CENTROIDS
+    smallest-md5(vec_id) vectors (k-means init, zero Lloyd iterations —
+    n_iters=0, sample_cap=n_centroids), so the DuckDB oracle rebuilds the
+    identical quantizer and checks the whole IVF machinery end-to-end:
+    argmax posting-list assignment (round-6 cosine, lowest-centroid-id
+    tiebreak), per-query nprobe probe selection, posting-list candidate
+    union, exact-cosine rescore, windowed top-k. The Lloyd-refined
+    quantizer (the production configuration) is covered by
+    tests/test_ann.py via recall-vs-brute-force instead — Lloyd on an
+    rng-seeded init is not SQL-expressible."""
+    from aperag_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = ivf_topk(
+        emb,
+        ANN_IVF_QUERY_IDS,
+        k=ANN_IVF_K,
+        n_centroids=ANN_IVF_CENTROIDS,
+        nprobe=ANN_IVF_NPROBE,
+        n_iters=0,
+        sample_cap=ANN_IVF_CENTROIDS,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        "cosine",
+    )
+
+
+ORACLE_SIM_ANN_IVF = f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS centroid_id,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {ANN_IVF_CENTROIDS})
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+                 e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+               c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                 q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+               c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_IVF_QUERY_IDS)})
+  ) WHERE rn <= {ANN_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(
+             q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {ANN_IVF_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data quality operators)
 # ---------------------------------------------------------------------------
@@ -1767,14 +1857,9 @@ def q_hybrid_rrf(spark, sf_dir):
             F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
         )
     )
-    order = [F.desc("cosine"), F.asc("doc_id")]
-    w = Window.orderBy(*order)
-    vec = (
-        scored.orderBy(*order)
-        .limit(FT_TOPK)
-        .withColumn("vec_rank", F.row_number().over(w).cast("int"))
-        .select("doc_id", "vec_rank")
-    )
+    vec = rank_bounded(
+        scored, [("cosine", "desc"), ("doc_id", "asc")], k=FT_TOPK, rank_col="vec_rank"
+    ).select("doc_id", "vec_rank")
     fused = bm25.join(vec, "doc_id", "full_outer").select(
         "doc_id",
         F.round(
@@ -1783,12 +1868,8 @@ def q_hybrid_rrf(spark, sf_dir):
             6,
         ).alias("rrf_score"),
     )
-    order2 = [F.desc("rrf_score"), F.asc("doc_id")]
-    w2 = Window.orderBy(*order2)
-    return (
-        fused.orderBy(*order2)
-        .limit(RRF_TOPK)
-        .withColumn("rank", F.row_number().over(w2).cast("int"))
+    return rank_bounded(
+        fused, [("rrf_score", "desc"), ("doc_id", "asc")], k=RRF_TOPK
     )
 
 
@@ -1938,20 +2019,14 @@ def q_top_customers(spark, sf_dir, k: int = 25):
     )
     # TakeOrderedAndProject (orderBy+limit), then rank the k survivors —
     # see q_kg_top_entities for why not a global row_number window.
-    order = [F.desc("total_spend"), F.asc("c_custkey")]
-    w = Window.orderBy(*order)
-    return (
-        joined.orderBy(*order)
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .select(
-            "rank",
-            F.col("c_custkey").cast("bigint").alias("c_custkey"),
-            "c_name",
-            "c_mktsegment",
-            "total_spend",
-            "n_orders",
-        )
+    keys = [("total_spend", "desc"), ("c_custkey", "asc")]
+    return rank_bounded(joined, keys, k=k, rank_type="bigint").select(
+        "rank",
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        "total_spend",
+        "n_orders",
     )
 
 
@@ -1997,6 +2072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_label": q_sim_knn_label,
     "sim_neardup": q_sim_neardup,
     "sim_neardup_lsh": q_sim_neardup_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
     "fulltext_bm25": q_fulltext_bm25,
     "flow_merge": q_flow_merge,
     "hybrid_rrf": q_hybrid_rrf,
@@ -2038,6 +2114,7 @@ ORACLES: dict[str, str] = {
     # recall-exhaustive at threshold 0.4 on the fixed test corpora, so a
     # hash match PROVES it found every qualifying pair
     "sim_neardup_lsh": ORACLE_SIM_NEARDUP,
+    "sim_ann_ivf": ORACLE_SIM_ANN_IVF,
     "fulltext_bm25": ORACLE_FULLTEXT_BM25,
     "flow_merge": ORACLE_FLOW_MERGE,
     "hybrid_rrf": ORACLE_HYBRID_RRF,
