@@ -25,8 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 class KGEngine:
     def __init__(self, spark: SparkSession, out_dir: str, workspace: str = ""):
         self.spark = spark
-        self.out_dir = out_dir
         self.workspace = workspace
+        # tenant isolation as a PARTITION PATH (SURVEY §1.1): a non-empty
+        # workspace roots every stage table under workspace=<ws>/ (the Hive
+        # partition-column convention), so two tenants sharing one engine
+        # out_dir have physically disjoint subtrees — maintenance in one
+        # workspace cannot touch the other's bytes by construction. The
+        # workspace also salts every content hash (compute_mdhash_id), so
+        # ids are disjoint even for identical input pages.
+        import os
+
+        self.out_dir = (
+            os.path.join(out_dir, f"workspace={workspace}") if workspace else out_dir
+        )
         self._tables: dict[str, DataFrame] = {}
         self._vdbs: dict[str, DataFrame] = {}
         self._ft_index = None
@@ -202,6 +213,85 @@ class KGEngine:
         from aperag_spark.operators.maintenance import delete_entity
 
         ents, rels = delete_entity(self.entities, self.relations, name)
+        self._tables["entities_canonical"] = ents.localCheckpoint()
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    # -- M14 curation verbs (utils_graph.py manual-editing API) -----------
+
+    def create_entity(self, entity_name: str, entity_data: dict | None = None) -> None:
+        """acreate_entity (utils_graph.py:404-445)."""
+        from aperag_spark.operators.maintenance import create_entity
+
+        ents = create_entity(self.entities, entity_name, entity_data or {})
+        self._tables["entities_canonical"] = ents.localCheckpoint()
+        self._vdbs.clear()
+
+    def edit_entity(
+        self, entity_name: str, updated_data: dict, allow_rename: bool = True
+    ) -> None:
+        """aedit_entity (utils_graph.py:108-276): attribute update; a
+        changed entity_name renames, refusing if the new name exists
+        (rename_entity() is the merge-into-existing variant)."""
+        from aperag_spark.operators.maintenance import edit_entity
+
+        ents, rels = edit_entity(
+            self.entities, self.relations, entity_name, updated_data, allow_rename
+        )
+        self._tables["entities_canonical"] = ents.localCheckpoint()
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    def create_relation(
+        self, source_entity: str, target_entity: str, relation_data: dict | None = None
+    ) -> None:
+        """acreate_relation (utils_graph.py:447-545)."""
+        from aperag_spark.operators.maintenance import create_relation
+
+        rels = create_relation(
+            self.entities, self.relations, source_entity, target_entity, relation_data or {}
+        )
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    def edit_relation(
+        self, source_entity: str, target_entity: str, updated_data: dict
+    ) -> None:
+        """aedit_relation (utils_graph.py:278-401)."""
+        from aperag_spark.operators.maintenance import edit_relation
+
+        rels = edit_relation(self.relations, source_entity, target_entity, updated_data)
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    def delete_relation(self, source_entity: str, target_entity: str) -> None:
+        """adelete_by_relation (utils_graph.py:68-105); missing edge = no-op."""
+        from aperag_spark.operators.maintenance import delete_relation
+
+        rels = delete_relation(self.relations, source_entity, target_entity)
+        self._tables["relations_canonical"] = rels.localCheckpoint()
+        self._vdbs.clear()
+
+    def merge_entities(
+        self,
+        source_entities: list[str],
+        target_entity: str,
+        merge_strategy: dict[str, str] | None = None,
+        target_entity_data: dict | None = None,
+    ) -> None:
+        """amerge_entities (utils_graph.py:548-766) with the per-field
+        merge-strategy matrix (concatenate/keep_first/keep_last/
+        join_unique/max)."""
+        from aperag_spark.operators.maintenance import merge_entities_curated
+
+        ents, rels = merge_entities_curated(
+            self.entities,
+            self.relations,
+            source_entities,
+            target_entity,
+            merge_strategy,
+            target_entity_data,
+        )
         self._tables["entities_canonical"] = ents.localCheckpoint()
         self._tables["relations_canonical"] = rels.localCheckpoint()
         self._vdbs.clear()
