@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, Window
 
 from aperag_spark.operators.graph_query import node_degree
@@ -81,10 +82,8 @@ def one_hop_edges(
         .withColumn("rank", F.col("sd") + F.col("td"))  # edge_degree — G2
         .drop("sd", "td")
     )
-    order_cols = [F.desc("rank"), F.desc("weight"), F.asc("src_id"), F.asc("tgt_id")]
-    top = ranked.orderBy(*order_cols).limit(max_edges)
-    w = Window.orderBy(*order_cols)
-    return top.withColumn("order", F.row_number().over(w))
+    keys = [("rank", "desc"), ("weight", "desc"), ("src_id", "asc"), ("tgt_id", "asc")]
+    return rank_bounded(ranked, keys, k=max_edges, rank_col="order")
 
 
 def related_chunks(
@@ -137,16 +136,17 @@ def combine_contexts(*contexts: DataFrame) -> DataFrame:
             out.withColumn("_rn", F.row_number().over(w_first))
             .where(F.col("_rn") == 1)
         )
-        w_id = Window.orderBy(
-            F.asc("_leg"), F.asc("_ord"), *[F.asc(c) for c in cols]
+        ranked = rank_bounded(
+            first.drop("_rn", "id"),  # a stale leg-local id is re-assigned
+            [("_leg", "asc"), ("_ord", "asc")] + [(c, "asc") for c in cols],
+            rank_col="id",
+            rank_type="string",
         )
-        return (
-            first.withColumn("id", F.row_number().over(w_id).cast("string"))
-            .drop("_rn", "_leg", "_ord")
-        )
-    deduped = out.dropDuplicates(cols).drop("_leg")
-    w = Window.orderBy(*[F.asc(c) for c in cols])
-    return deduped.withColumn("id", F.row_number().over(w).cast("string"))
+        return ranked.drop("_leg", "_ord")
+    deduped = out.dropDuplicates(cols).drop("_leg", "id")
+    return rank_bounded(
+        deduped, [(c, "asc") for c in cols], rank_col="id", rank_type="string"
+    )
 
 
 def build_local_context(

@@ -18,6 +18,7 @@ plan (broadcast query, score column, top-k) is unchanged.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, Window
 
 MERGE_SOURCE_ORDER = ("vector", "fulltext", "graph")  # merge.py:51-60 concat order
@@ -76,8 +77,6 @@ def rerank_docs(query_text: str, docs: DataFrame, text_col: str = "text") -> Dat
     scored = embed_column(docs, text_col).withColumn(
         "rerank_score", F.round(cosine_col(F.col("embedding"), q), 6)
     ).drop("embedding")
-    order = [F.desc("rerank_score"), F.asc(text_col)]
-    w = Window.orderBy(*order)
     # doc lists at this node are already top-k'd by upstream retrieval —
-    # bounded, so the rank window is over k rows, not a table scan
-    return scored.withColumn("rank", F.row_number().over(w))
+    # bounded, so the rank runs over k rows, not a table scan
+    return rank_bounded(scored, [("rerank_score", "desc"), (text_col, "asc")])

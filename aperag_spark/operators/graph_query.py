@@ -18,6 +18,7 @@ pair — direction is moot (G7, operate.py:553-555).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, Window
 
 
@@ -72,13 +73,9 @@ def top_k_by_degree(relations: DataFrame, k: int = 20) -> DataFrame:
     # orderBy+limit → TakeOrderedAndProject (per-partition heap, driver merge
     # of k rows) instead of funneling the whole entity aggregate through a
     # single-partition row_number window; rank is assigned on the k survivors
-    order = [F.desc("degree"), F.desc("total_weight"), F.asc("entity_id")]
-    w = Window.orderBy(*order)
-    return (
-        agg.orderBy(*order)
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "entity_id", "degree", "total_weight")
+    keys = [("degree", "desc"), ("total_weight", "desc"), ("entity_id", "asc")]
+    return rank_bounded(agg, keys, k=k).select(
+        "rank", "entity_id", "degree", "total_weight"
     )
 
 

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, Window
 
 EMBED_DIM = 32
@@ -110,6 +111,4 @@ def topk_search(
     # TakeOrderedAndProject via orderBy+limit, then rank the k survivors —
     # the vdb can be the whole entity table; a global row_number window
     # would single-task it
-    order = [F.desc("score"), F.asc("id")]
-    w = Window.orderBy(*order)
-    return scored.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))
+    return rank_bounded(scored, [("score", "desc"), ("id", "asc")], k=k)

@@ -190,16 +190,20 @@ def test_one_hop_edges_bounds_rows_before_order_window(spark):
     edges = one_hop_edges(seeds, rels, max_edges=25)
     plan = explain_str(edges)
     assert "TakeOrderedAndProject" in plan, plan
-    # the Window (order assignment) must sit ABOVE the bounded result: node
-    # ids increase toward the root, so the Window's id must exceed the
-    # TakeOrderedAndProject's (i.e. the window's input is the ≤max_edges
-    # top-K result, never the raw edge table)
+    # round 4: the order column is assigned by rank_bounded (posexplode over
+    # a comparator-sorted collect_list) — NO WindowExec in the plan at all,
+    # so the `No Partition Defined` log stays reserved for real unbounded
+    # windows. The collect_list aggregate must still sit ABOVE the bounded
+    # result: node ids increase toward the root, so the aggregate's id must
+    # exceed the TakeOrderedAndProject's (its input is the <=max_edges top-K
+    # result, never the raw edge table).
     import re
 
-    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    assert "Window" not in plan, plan
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) \w*Aggregate", plan)]
     top_ids = [int(m) for m in re.findall(r"\((\d+)\) TakeOrderedAndProject", plan)]
-    assert win_ids and top_ids
-    assert min(win_ids) > max(top_ids), (win_ids, top_ids)
+    assert agg_ids and top_ids
+    assert max(agg_ids) > max(top_ids), (agg_ids, top_ids)
     rows = edges.collect()
     assert len(rows) == 25
     orders = sorted(r["order"] for r in rows)
