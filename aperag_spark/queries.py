@@ -891,6 +891,69 @@ FROM sizes GROUP BY seed
 """
 
 
+DEDUP_CLUSTER_T = 0.6  # exact-Jaccard threshold declaring two docs duplicates
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """The dedup family's FINAL stage — detect -> cluster -> select
+    canonical -> keep/purge verdict, the shape a training-data pipeline
+    actually executes (a pair list alone dedupes nothing): MinHash-LSH
+    candidate pairs verified by exact shingle-Jaccard become edges at
+    >= DEDUP_CLUSTER_T; the M1 connected-components operator (hash-min +
+    pointer jumping — the same engine that collapses entity aliases)
+    groups transitive duplicates (A~B, B~C => one cluster even if A,C
+    never met in a bucket); the canonical survivor per cluster is the min
+    doc_id; every corpus doc gets (canonical_id, keep).
+
+    Scale shape: the edge list is the bucket-capped verified pair list
+    (tiny vs the corpus); CC iterates O(log d) rounds on it; the final
+    verdict is one broadcast-sized left join against the corpus ids."""
+    from aperag_spark.operators.components import connected_components
+
+    # checkpoint the (tiny) verified edge list: CC's iterative rounds and
+    # its initial label build would otherwise re-execute the whole
+    # MinHash-LSH + verify subplan once per consumer
+    pairs = (
+        q_dedup_minhash_candidates(spark, sf_dir)
+        .where(F.col("jaccard") >= DEDUP_CLUSTER_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    canon = F.coalesce("component", F.col("doc_id"))
+    return (
+        docs.join(
+            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            canon.cast("bigint").alias("canonical_id"),
+            (canon == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+ORACLE_DEDUP_CLUSTER = f"""
+WITH RECURSIVE cand AS ({ORACLE_DEDUP_MINHASH_CANDIDATES}),
+dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= {DEDUP_CLUSTER_T}),
+nodes AS (SELECT doc_a AS n FROM dup UNION SELECT doc_b FROM dup),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM dup UNION SELECT doc_b, doc_a FROM dup),
+walk AS (
+  SELECT n AS node, n AS reach FROM nodes
+  UNION
+  SELECT w.node, s.b FROM walk w JOIN sym s ON w.reach = s.a
+),
+comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 CHAR_NGRAM_N = 5
 NGRAM_ANCHORS = 8  # smallest-md5 grams used as blocking anchors per doc
 NGRAM_BUCKET_CAP = 64  # boilerplate-anchor guard, same rationale as MINHASH_BUCKET_CAP
@@ -2066,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_minhash_bucket_stats": q_dedup_minhash_bucket_stats,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_cluster": q_dedup_cluster,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sim_topk": q_sim_topk,
@@ -2105,6 +2169,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,
     "dedup_minhash_bucket_stats": ORACLE_DEDUP_MINHASH_BUCKET_STATS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_cluster": ORACLE_DEDUP_CLUSTER,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "sim_topk": ORACLE_SIM_TOPK,
