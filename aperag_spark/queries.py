@@ -714,31 +714,70 @@ _SQL_SHINGLES = """
 """
 
 
+_MINHASH_DOC_SCHEMA = "doc_id bigint, hs array<string>, mh array<string>"
+
+
+def _minhash_doc_batches(it):
+    """Arrow-side combined MinHash kernel: ONE text pass per doc emits both
+    the verify tokens (hs: 16-hex md5 prefixes of the distinct 3-word
+    shingles) and the full signature (mh[k] = min over shingles of
+    md5(shingle:k)). Replaces two separate JVM derivations that each
+    re-split the text through interpreted HOF chains (the sig expr and the
+    verify `sh` subplan) — measured value-identical to both. Word split
+    mimics Java String.split (leading empties kept, trailing dropped) so
+    the token sets match the F.split/string_split_regex pair the (unchanged)
+    oracles use."""
+    import hashlib
+    import re as _re
+
+    import pyarrow as pa
+
+    sufs = [f":{k}".encode() for k in range(N_MINHASH)]
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        od, ohs, omh = [], [], []
+        for d, t in zip(ids, texts):
+            w = _re.split(r"\s+", t or "")
+            while w and w[-1] == "":
+                w.pop()
+            if len(w) < 3:
+                continue
+            sh = {f"{w[i]} {w[i + 1]} {w[i + 2]}" for i in range(len(w) - 2)}
+            enc = [s.encode() for s in sh]
+            od.append(d)
+            ohs.append([hashlib.md5(e).hexdigest()[:16] for e in enc])
+            omh.append(
+                [min(hashlib.md5(e + suf).hexdigest() for e in enc) for suf in sufs]
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(od, pa.int64()),
+                pa.array(ohs, pa.list_(pa.string())),
+                pa.array(omh, pa.list_(pa.string())),
+            ],
+            ["doc_id", "hs", "mh"],
+        )
+
+
+def _minhash_docs(spark, sf_dir):
+    """(doc_id, hs, mh) per doc with >=1 shingle — the single source for
+    the signature, candidate, bucket-stat, and cluster queries."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return docs.mapInArrow(_minhash_doc_batches, _MINHASH_DOC_SCHEMA)
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures: per (doc, seed), min over shingles of
     md5(shingle:seed). Portable hash (md5) so the oracle reproduces it;
-    at production scale this is the same shape with xxhash64."""
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _shingle_col().alias("shingles"))
-        .where(F.size("shingles") >= 1)
-    )
-    # one array of N_MINHASH minhashes per doc, each with a LITERAL seed —
-    # an outer column reference inside the lambda would force per-row
-    # re-evaluation; and the lambda variables need DISTINCT names (sibling
-    # python-lambda HOFs sharing an arg name mis-bind in classic pyspark),
-    # hence SQL expr with s0..s7
-    mh_arr = F.expr(
-        "array("
-        + ",".join(
-            f"array_min(transform(shingles, s{k} -> md5(concat(s{k}, ':{k}'))))"
-            for k in range(N_MINHASH)
-        )
-        + ")"
-    )
-    return docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.posexplode(mh_arr).alias("seed", "minhash"),
+    at production scale this is the same shape with xxhash64. Computed by
+    the combined Arrow kernel (_minhash_doc_batches) — the former pure-JVM
+    form (8 interpreted transform/array_min HOF passes over a zip_with
+    shingle build) was measured value-identical and ~20% slower."""
+    return _minhash_docs(spark, sf_dir).select(
+        "doc_id", F.posexplode("mh").alias("seed", "minhash")
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
@@ -764,13 +803,19 @@ def q_dedup_minhash_candidates(spark, sf_dir):
     """LSH banding: docs sharing any (seed, minhash) bucket become candidate
     pairs, then exact shingle-Jaccard is computed per pair (verify step).
     Self-join on the bucket key — at scale, bucket sizes bound the quadratic
-    blow-up (no all-pairs comparison ever happens)."""
+    blow-up (no all-pairs comparison ever happens).
+
+    One Arrow pass (_minhash_doc_batches) produces BOTH the banding
+    signatures and the verify tokens, checkpointed once — the former plan
+    re-split and re-hashed the corpus text twice (sig expr + verify `sh`
+    subplan), each through interpreted HOF chains."""
+    md = _minhash_docs(spark, sf_dir).localCheckpoint()
+    sig = md.select("doc_id", F.posexplode("mh").alias("seed", "minhash"))
     # bucket-local pair generation: group each (seed, minhash) bucket's
     # members and emit the O(bucket²) pairs from the sorted member array —
     # one aggregation instead of a self-join that computes the signature
     # subplan twice. Bucket sizes ≤ MINHASH_BUCKET_CAP bound the blow-up
     # (max cap·(cap-1)/2 = 2016 pairs per bucket row) at any scale.
-    sig = q_dedup_minhash_sig(spark, sf_dir)
     buckets = (
         sig.groupBy("seed", "minhash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
@@ -805,17 +850,7 @@ def q_dedup_minhash_candidates(spark, sf_dir):
     # collisions — and the oracle applies the SAME hashing, so both engines
     # agree exactly. At 100 TB this is the difference between shipping the
     # corpus text through the verify shuffle and shipping fixed-width keys.
-    sh = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", _shingle_col().alias("shingles"))
-        .where(F.size("shingles") >= 1)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform("shingles", lambda s: F.substring(F.md5(s), 1, 16))
-            ).alias("hs"),
-        )
-    )
+    sh = md.select("doc_id", "hs")
     return (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
