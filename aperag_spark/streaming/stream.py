@@ -300,6 +300,67 @@ def streaming_relation_merge(mentions_stream: DataFrame, summary_threshold: int 
     )
 
 
+DEDUP_OUT_SCHEMA = (
+    "h string, doc_id long, canonical_doc_id long, "
+    "is_duplicate boolean, seen_count long"
+)
+DEDUP_STATE_SCHEMA = "canonical long, cnt long"
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-side form of q_dedup_exact, the
+    operator a continuously-fed training-data pipeline actually needs
+    (batch dedup can't drop a duplicate that arrives tomorrow): group by
+    content hash, keep per-hash state (canonical doc id + running count),
+    emit every incoming doc with its verdict.
+
+    Canonical = min doc_id of the FIRST micro-batch that saw the hash
+    (min-within-batch makes intra-batch arrival order irrelevant;
+    first-batch-wins is the genuine streaming semantics — matching the
+    reference's first-seen upsert behavior for chunk ids, lightrag.py
+    insert path). State is one (long, long) per distinct content hash —
+    RocksDB-backed and shuffle-partitioned by hash at scale, so 100 TB of
+    corpus costs state proportional to distinct contents, not rows."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        if state.exists:
+            canon, cnt = state.get
+        else:
+            canon, cnt = ids[0], 0
+        cnt += len(ids)
+        state.update((int(canon), int(cnt)))
+        yield pd.DataFrame(
+            {
+                "h": [key[0]] * len(ids),
+                "doc_id": ids,
+                "canonical_doc_id": [int(canon)] * len(ids),
+                "is_duplicate": [i != canon for i in ids],
+                "seen_count": [int(cnt)] * len(ids),
+            }
+        )
+
+    return hashed.groupBy("h").applyInPandasWithState(
+        _update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_graph_stream(
     spark: SparkSession,
     pages_dir: str,

@@ -307,3 +307,69 @@ def test_parser_assets_flow_into_media_pipeline(spark):
     assert rows[0]["kind"] == "image" and bytes(rows[0]["payload"]) == raw
     feats = extract_media_features(media).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+
+
+def test_streaming_exact_dedup_stateful_matches_batch(spark, tmp_path):
+    """streaming_exact_dedup across micro-batches must agree with the batch
+    content-hash grouping: same groups, exactly one non-duplicate per hash,
+    canonical inside its group, final seen_count = group size. (Canonical
+    CHOICE is first-batch-wins by design, so the batch comparison is on
+    groups and invariants, which are arrival-order independent.)"""
+    import pyspark.sql.functions as F
+
+    from aperag_spark.streaming.stream import streaming_exact_dedup
+
+    docs_dir = str(tmp_path / "docs")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant guaranteed exact duplicates: a shifted-id copy of 20 docs
+    dups = base.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    base.unionByName(dups).repartition(6).write.parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedupstate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from dedupstate").collect()
+
+    batch = spark.read.parquet(docs_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    groups: dict[str, set] = {}
+    for r in batch.collect():
+        groups.setdefault(r["h"], set()).add(r["doc_id"])
+
+    # every doc got exactly one verdict row
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        d for g in groups.values() for d in g
+    )
+    by_hash: dict[str, list] = {}
+    for r in rows:
+        by_hash.setdefault(r["h"], []).append(r)
+    assert set(by_hash) == set(groups)
+    n_dup_groups = 0
+    for h, g in groups.items():
+        emitted = by_hash[h]
+        canons = {r["canonical_doc_id"] for r in emitted}
+        assert len(canons) == 1  # one canonical per hash, stable across batches
+        canon = canons.pop()
+        assert canon in g  # canonical is a member of its group
+        keeps = [r for r in emitted if not r["is_duplicate"]]
+        assert len(keeps) == 1 and keeps[0]["doc_id"] == canon
+        assert max(r["seen_count"] for r in emitted) == len(g)
+        if len(g) > 1:
+            n_dup_groups += 1
+    assert n_dup_groups >= 20  # the planted duplicates were caught
