@@ -340,3 +340,57 @@ def test_kgengine_curation_wiring(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_merge_matrix_randomized_fuzz_vs_reference():
+    """500 randomized (data_list, strategy) cases per variant against the
+    executed reference functions — catches interaction bugs the fixed
+    matrix misses (falsy filtering x strategy, SEP-embedded values, mixed
+    types under max, absent keys)."""
+    import random
+
+    from aperag_spark.operators.maintenance import (
+        merge_entity_attributes,
+        merge_relation_attributes,
+    )
+
+    rng = random.Random(2024)
+    strategies = ["concatenate", "keep_first", "keep_last", "join_unique", "max", "bogus"]
+    keys = ["description", "entity_type", "source_id", "weight", "extra"]
+
+    def rand_value():
+        r = rng.random()
+        if r < 0.15:
+            return None
+        if r < 0.25:
+            return ""
+        if r < 0.35:
+            return rng.choice([0, 0.0, 1, 2.5, "3.5", "not-a-number"])
+        parts = [f"v{rng.randint(0, 5)}" for _ in range(rng.randint(1, 3))]
+        return REF_SEP.join(parts) if rng.random() < 0.4 else " ".join(parts)
+
+    for trial in range(500):
+        data_list = [
+            {k: rand_value() for k in rng.sample(keys, rng.randint(1, len(keys)))}
+            for _ in range(rng.randint(1, 4))
+        ]
+        strategy = {k: rng.choice(strategies) for k in rng.sample(keys, rng.randint(0, len(keys)))}
+        # the entity variant joins raw values ("\n\n".join / set.update) —
+        # the REFERENCE ITSELF TypeErrors on non-strings there (node attrs
+        # are strings in its storage), so feed it the stringified view
+        ent_list = [
+            {k: (str(v) if v is not None and not isinstance(v, str) else v) for k, v in d.items()}
+            for d in data_list
+        ]
+        _agree(
+            merge_entity_attributes(ent_list, strategy),
+            REF_ENTITY_MERGE(ent_list, strategy),
+            strategy,
+        )
+        # the relation variant str()-casts and has the numeric max branch —
+        # mixed types exercise it as-is
+        _agree(
+            merge_relation_attributes(data_list, strategy),
+            REF_RELATION_MERGE(data_list, strategy),
+            strategy,
+        )
