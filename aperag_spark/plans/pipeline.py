@@ -156,7 +156,12 @@ def run_pipeline(
         chunks = stage("chunks", lambda: chunk_texts(texts, workspace))
         mentions = stage("mentions", lambda: extract_mentions(chunks))
     raw_entities, raw_relations = split_mentions(mentions)
-    relations_full = merge_relations(raw_relations)
+    # LAZY checkpoint: the full relation-merge frame has THREE consumers
+    # (entity-stub derivation, the finalized relations stage, canonicalize),
+    # each of which would otherwise re-execute the whole merge aggregation
+    # over the mentions table. eager=False so a fully-resumed run (every
+    # stage complete on disk) never materializes it at all.
+    relations_full = merge_relations(raw_relations).localCheckpoint(eager=False)
     entities = stage(
         "entities",
         lambda: stub_missing_endpoints(merge_entities(raw_entities), relations_full),
