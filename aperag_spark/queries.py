@@ -220,7 +220,7 @@ def _bigram_edges(spark, sf_dir):
     """Adjacent-word pairs → canonical (least, greatest) undirected edges
     (M8, operate.py:553-555), self-loops dropped (operate.py:206-208)."""
     # zip_with over a shifted slice, not element_at-in-lambda (see
-    # _shingle_col for why: interpreted HOF lambdas re-evaluate split()).
+    # _minhash_doc_batches for why: interpreted HOF lambdas re-evaluate split()).
     docs = _t(spark, sf_dir, "documents").select("doc_id", _words().alias("ws"))
     pairs = docs.where(F.size("ws") >= 2).select(
         "doc_id",
@@ -686,23 +686,8 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _shingle_col():
-    """Distinct 3-word shingles as array<string> — JVM expressions only.
-
-    Built with zip_with over shifted slices rather than
-    transform(sequence, i -> element_at(ws, i)): higher-order-function
-    lambdas are interpreted (no whole-stage codegen, no subexpression
-    elimination), so an element_at(ws, i) lambda re-evaluates the split()
-    for every element — O(tokens²) per doc. zip_with passes each array in
-    once as an argument (measured 8.5s → sub-second on sf0.1 documents)."""
-    ws = _words()
-    w2 = F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1)))
-    w3 = F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(1)))
-    pairs = F.zip_with(ws, w2, lambda a, b: F.concat(a, F.lit(" "), b))  # null-tail
-    tri = F.zip_with(pairs, w3, lambda ab, c: F.concat(ab, F.lit(" "), c))
-    return F.array_distinct(F.filter(tri, lambda x: x.isNotNull()))
-
-
+# (the former pure-JVM _shingle_col zip_with builder was replaced by the
+# Arrow kernel below — HOF chains run interpreted; see _minhash_doc_batches)
 _SQL_SHINGLES = """
   SELECT doc_id,
          list_distinct(list_transform(
