@@ -238,8 +238,11 @@ Output identity across all configs: triples = {curve[PRIMARY[0]]["n_triples"]}
 
 Raw JSON: `{json.dumps(report)}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # never clobber a curated BENCH.md: write the fresh report next to it
+    target = "BENCH.md" if not os.path.exists(os.path.join(REPO, "BENCH.md")) else "BENCH_SWEEP_LATEST.md"
+    with open(os.path.join(REPO, target), "w") as f:
         f.write(md)
+    print(f"report written to {target} (merge into BENCH.md manually if needed)")
     print(f"wrote {os.path.join(REPO, 'BENCH.md')}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree("/dev/shm/kg_scaling", ignore_errors=True)
