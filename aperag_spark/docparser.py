@@ -508,13 +508,39 @@ def _unsupported(fmt: str):
     return _raise
 
 
+def _via_office(convert):
+    """Office/notebook/ebook container → markdown (aperag_spark.office,
+    the stdlib restatement of the MarkItDown conventions the reference
+    routes these through, markitdown_parser.py:25-41,65-68) → parse_md."""
+
+    def _parse(data: bytes) -> list[dict]:
+        return parse_md(convert(data))
+
+    return _parse
+
+
+def _office(name: str):
+    import aperag_spark.office as office
+
+    return _via_office(getattr(office, name))
+
+
 PARSER_MAP: dict[str, Any] = {
     ".md": lambda data: parse_md(data.decode("utf-8", errors="replace")),
     ".markdown": lambda data: parse_md(data.decode("utf-8", errors="replace")),
     ".html": parse_html,
     ".htm": parse_html,
     ".txt": parse_txt,
+    ".text": parse_txt,
+    ".docx": _office("docx_to_markdown"),
+    ".xlsx": _office("xlsx_to_markdown"),
+    ".pptx": _office("pptx_to_markdown"),
+    ".ipynb": _office("ipynb_to_markdown"),
+    ".epub": _office("epub_to_markdown"),
     ".pdf": _unsupported("pdf"),
+    ".doc": _unsupported("doc (legacy binary; reference shells to soffice)"),
+    ".ppt": _unsupported("ppt (legacy binary; reference shells to soffice)"),
+    ".xls": _unsupported("xls (legacy binary; reference shells to soffice)"),
     ".mp3": _unsupported("audio"),
     ".wav": _unsupported("audio"),
     ".png": _unsupported("image"),
