@@ -491,6 +491,23 @@ def parse_txt(data: bytes) -> list[dict]:
     return [_part("markdown", text), _part("text", text.strip())]
 
 
+def parse_pdf(data: bytes) -> list[dict]:
+    """Best-effort text extraction (aperag_spark.pdftext) — the pdfminer-
+    class behavior of the reference's MarkItDown route
+    (markitdown_parser.py:33). Scanned / CID-font / encrypted PDFs yield no
+    text and quarantine as error rows; the reference's model-based parsers
+    (MinerU/DocRay) remain the fidelity path and stay env-gated."""
+    from aperag_spark.pdftext import pdf_to_text
+
+    text = pdf_to_text(data)
+    if not text.strip():
+        raise NotImplementedError(
+            "pdf yielded no extractable text (scanned/CID-font/encrypted; "
+            "reference fidelity path: MinerU/DocRay model parsers)"
+        )
+    return [_part("markdown", text), _part("text", text.strip())]
+
+
 # --------------------------------------------------------------------------
 # Registry — doc_parser.py:31-49: name→parser map, extension dispatch.
 # Audio/image/PDF parsers need codecs absent from this container; they are
@@ -537,7 +554,7 @@ PARSER_MAP: dict[str, Any] = {
     ".pptx": _office("pptx_to_markdown"),
     ".ipynb": _office("ipynb_to_markdown"),
     ".epub": _office("epub_to_markdown"),
-    ".pdf": _unsupported("pdf"),
+    ".pdf": parse_pdf,
     ".doc": _unsupported("doc (legacy binary; reference shells to soffice)"),
     ".ppt": _unsupported("ppt (legacy binary; reference shells to soffice)"),
     ".xls": _unsupported("xls (legacy binary; reference shells to soffice)"),

@@ -242,3 +242,57 @@ def test_office_formats_flow_through_spark_parse_pages(spark):
     assert any(r["kind"] == "title" for r in by_url["d/book.epub"])
     broken = by_url["e/broken.docx"]
     assert len(broken) == 1 and broken[0]["kind"] == "error"
+
+
+# ---------------------------------------------------------------------------
+# PDF (aperag_spark.pdftext)
+# ---------------------------------------------------------------------------
+
+
+def _pdf(streams: list[bytes], compress: list[bool]) -> bytes:
+    """Minimal but structurally real PDF: header + one obj per content
+    stream (Flate-compressed when asked) + EOF."""
+    import zlib
+
+    out = [b"%PDF-1.4\n"]
+    for i, (s, comp) in enumerate(zip(streams, compress), start=1):
+        body = zlib.compress(s) if comp else s
+        filt = b"/Filter /FlateDecode " if comp else b""
+        out.append(
+            b"%d 0 obj\n<< %s/Length %d >>\nstream\n" % (i, filt, len(body))
+            + body
+            + b"\nendstream\nendobj\n"
+        )
+    out.append(b"%%EOF\n")
+    return b"".join(out)
+
+
+def test_pdf_text_extraction():
+    from aperag_spark.pdftext import pdf_to_text
+
+    s1 = (
+        b"BT /F1 12 Tf 72 720 Td (Hello \\(PDF\\) world) Tj "
+        b"0 -14 Td [(kerned) -250 ( array) -250 ( text)] TJ ET"
+    )
+    s2 = b"BT 72 720 Td <48657820737472696E67> Tj T* (next line) Tj ET"
+    data = _pdf([s1, s2], [False, True])
+    text = pdf_to_text(data)
+    assert "Hello (PDF) world" in text  # escaped parens decoded
+    assert "kerned array text" in text  # TJ array joined, kerns dropped
+    assert "Hex string" in text  # <hex> decoded
+    assert text.index("world") < text.index("Hex")  # object order kept
+    assert "next line" in text
+
+
+def test_pdf_through_parse_document_and_quarantine():
+    import pytest
+
+    data = _pdf([b"BT (Just one line) Tj ET"], [True])
+    parts = parse_document("doc.pdf", data)
+    assert any(p["kind"] == "text" and "Just one line" in p["content"] for p in parts)
+
+    # image-only / no-text PDFs raise -> parse_pages quarantines
+    with pytest.raises(NotImplementedError):
+        parse_document("scan.pdf", _pdf([b"q 100 0 0 100 0 0 cm /Im1 Do Q"], [False]))
+    with pytest.raises(ValueError):
+        parse_document("bad.pdf", b"not a pdf")
