@@ -240,3 +240,86 @@ def gen_media_df(spark, n: int = 64, seed: int = 42, partitions: int = 4) -> Dat
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Header probing — REAL metadata without codecs: container magic + header
+# fields are plain byte parsing (PNG IHDR, JPEG SOFn, GIF logical screen,
+# WAV/RIFF fmt chunk), so mime/dimensions/duration are extracted exactly
+# even though pixel/sample DECODE stays env-gated behind decode_media.
+# A dimension/duration filter is a first-class training-data operator
+# (drop icons, drop >10min audio) and needs only these fields.
+# ---------------------------------------------------------------------------
+
+
+def probe_media(payload: bytes) -> dict:
+    """→ {mime, width, height, duration_s} (None where not applicable /
+    not parseable). Pure stdlib byte parsing; unknown containers yield
+    mime=None rather than raising — probing is a filter, not a gate."""
+    import struct
+
+    out = {"mime": None, "width": None, "height": None, "duration_s": None}
+    if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
+        out["mime"] = "image/png"
+        w, h = struct.unpack(">II", payload[16:24])
+        out["width"], out["height"] = int(w), int(h)
+    elif payload.startswith(b"\xff\xd8"):
+        out["mime"] = "image/jpeg"
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                out["width"], out["height"] = int(w), int(h)
+                break
+            i += 2 + seglen
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        out["mime"] = "image/gif"
+        w, h = struct.unpack("<HH", payload[6:10])
+        out["width"], out["height"] = int(w), int(h)
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        out["mime"] = "audio/wav"
+        i = 12
+        byte_rate = None
+        data_size = None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 16 + 8 <= len(payload):
+                byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size % 2)
+        if byte_rate and data_size is not None:
+            out["duration_s"] = round(data_size / byte_rate, 3)
+    return out
+
+
+def probe_media_df(media: DataFrame, data_col: str = "data") -> DataFrame:
+    """Distributed probe: media rows → + (mime, width, height, duration_s).
+    Payload bytes never shuffle — the probe runs where the row lives and
+    only the (tiny) typed metadata columns move downstream."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [probe_media(bytes(b) if b is not None else b"") for b in pdf[data_col]]
+            res = pdf.drop(columns=[data_col]).reset_index(drop=True)
+            res["mime"] = [p["mime"] for p in probed]
+            res["width"] = pd.array([p["width"] for p in probed], dtype="Int32")
+            res["height"] = pd.array([p["height"] for p in probed], dtype="Int32")
+            res["duration_s"] = [p["duration_s"] for p in probed]
+            yield res
+
+    keep = [f"{c} {t}" for c, t in media.drop(data_col).dtypes]
+    schema = ", ".join(
+        keep + ["mime string", "width int", "height int", "duration_s double"]
+    )
+    return media.mapInPandas(_probe, schema)

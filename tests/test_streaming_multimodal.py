@@ -373,3 +373,55 @@ def test_streaming_exact_dedup_stateful_matches_batch(spark, tmp_path):
         if len(g) > 1:
             n_dup_groups += 1
     assert n_dup_groups >= 20  # the planted duplicates were caught
+
+
+def test_probe_media_real_headers(spark):
+    """probe_media parses REAL container headers (PNG IHDR, JPEG SOF0, GIF
+    screen descriptor, WAV fmt/data chunks) — exact dimensions/durations
+    with zero codec dependencies — and the DataFrame probe keeps payloads
+    from shuffling."""
+    import struct
+    import zlib
+
+    from aperag_spark.operators.multimodal import probe_media, probe_media_df
+
+    # PNG 320x200: signature + IHDR
+    ihdr = struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    # JPEG 640x480: SOI + APP0 + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x01\x11\x00"
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    # GIF 12x34
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00\x00\x00"
+    # WAV: 2s of 8kHz mono 16-bit => byte_rate 16000, data 32000 bytes
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data_chunk = b"\x00" * 32000
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data_chunk)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data_chunk)) + data_chunk
+    )
+
+    assert probe_media(png) == {"mime": "image/png", "width": 320, "height": 200, "duration_s": None}
+    j = probe_media(jpg)
+    assert (j["mime"], j["width"], j["height"]) == ("image/jpeg", 640, 480)
+    g = probe_media(gif)
+    assert (g["mime"], g["width"], g["height"]) == ("image/gif", 12, 34)
+    w = probe_media(wav)
+    assert (w["mime"], w["duration_s"]) == ("audio/wav", 2.0)
+    assert probe_media(b"junk bytes") == {"mime": None, "width": None, "height": None, "duration_s": None}
+
+    media = spark.createDataFrame(
+        [("a", bytearray(png)), ("b", bytearray(jpg)), ("c", bytearray(wav)), ("d", bytearray(b"??"))],
+        "media_id string, data binary",
+    )
+    rows = {r["media_id"]: r for r in probe_media_df(media).collect()}
+    assert rows["a"]["width"] == 320 and rows["a"]["mime"] == "image/png"
+    assert rows["b"]["height"] == 480
+    assert rows["c"]["duration_s"] == 2.0
+    assert rows["d"]["mime"] is None
+    assert "data" not in rows["a"].asDict()  # payload dropped before shuffle
