@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from aperag_spark.operators.windows import rank_bounded
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def node_degree(relations: DataFrame) -> DataFrame:

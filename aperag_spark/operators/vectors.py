@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from aperag_spark.operators.windows import rank_bounded
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 EMBED_DIM = 32
 
