@@ -1720,6 +1720,41 @@ FROM r
 """
 
 
+def q_corpus_select(spark, sf_dir):
+    """The pipeline ENDPOINT a pre-training corpus build actually runs: the
+    final per-doc selection verdict = Gopher quality gate AND near-dup
+    keep-list, with both component verdicts kept for observability (the
+    'no silent caps' rule applied to the corpus itself — every dropped doc
+    is attributable to quality reasons or a duplicate cluster). Composes
+    q_quality_filter (scan-bound projection) with q_dedup_cluster
+    (bucket-capped LSH + CC); the join is on doc_id — at 100 TB both
+    sides are partitioned by the same key and the verdict join is
+    co-located."""
+    q = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    d = q_dedup_cluster(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    return q.join(d, "doc_id").select(
+        "doc_id",
+        "quality_keep",
+        "dedup_keep",
+        (F.col("quality_keep") & F.col("dedup_keep")).alias("selected"),
+    )
+
+
+
+ORACLE_CORPUS_SELECT = f"""
+WITH RECURSIVE q AS ({ORACLE_QUALITY_FILTER}),
+d AS ({ORACLE_DEDUP_CLUSTER})
+SELECT q.doc_id, q.keep AS quality_keep, d.keep AS dedup_keep,
+       (q.keep AND d.keep) AS selected
+FROM q JOIN d ON q.doc_id = d.doc_id
+"""
+
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus-level rollup: doc count, token totals, exact interpolated
     median/p90 of doc length, distinct-vocabulary size — the dataset-card
@@ -2162,6 +2197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
+    "corpus_select": q_corpus_select,
     "corpus_stats": q_corpus_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2205,6 +2241,7 @@ ORACLES: dict[str, str] = {
     "hybrid_rrf": ORACLE_HYBRID_RRF,
     "text_stats": ORACLE_TEXT_STATS,
     "quality_filter": ORACLE_QUALITY_FILTER,
+    "corpus_select": ORACLE_CORPUS_SELECT,
     "corpus_stats": ORACLE_CORPUS_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
