@@ -143,7 +143,9 @@ def _docx_table_md(tbl, rels: dict[str, str]) -> str:
                 filter(
                     None,
                     (
-                        _docx_para_md(p, rels).lstrip("#- ").strip()
+                        # strip only the heading/list prefix _docx_para_md
+                        # added — not genuine leading '#'/'-' cell content
+                        re.sub(r"^(?:#{1,6} |(?:  )*- )", "", _docx_para_md(p, rels)).strip()
                         for p in tc
                         if _local(p.tag) == "p"
                     ),

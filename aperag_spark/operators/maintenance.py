@@ -160,6 +160,12 @@ def merge_entities_salted(
 
 MANUAL_SOURCE = "manual_creation"
 
+# columns kept consistent by the dedicated update branches (description →
+# description_frags, keywords → keyword_arr, source_id → source_ids, …);
+# setting them directly through the generic pass-through would desync them
+# from their string counterparts, so edit_* refuses them there.
+_DERIVED_COLUMNS = {"description_frags", "keyword_arr", "source_ids", "file_paths"}
+
 ENTITY_MERGE_DEFAULT_STRATEGY = {
     "description": "concatenate",
     "entity_type": "keep_first",
@@ -320,10 +326,11 @@ def edit_entity(
             row["source_ids"] = _split_sep(v)
         elif k == "file_path":
             row["file_paths"] = _split_sep(v)
-        elif k in row:
+        elif k in row and k not in _DERIVED_COLUMNS:
             row[k] = v
         # attributes outside the columnar schema are dropped (the reference
-        # stores free-form node dicts; the columnar table is typed)
+        # stores free-form node dicts; the columnar table is typed), and so
+        # are derived columns (set description/source_id/file_path instead)
     row["entity_id"] = new_name
     ents = entities.where(F.col("entity_id") != entity_name).unionByName(
         _single_row(entities, row)
@@ -416,7 +423,7 @@ def edit_relation(
             row["file_paths"] = _split_sep(v)
         elif k == "weight":
             row["weight"] = float(v)
-        elif k in row:
+        elif k in row and k not in _DERIVED_COLUMNS:
             row[k] = v
     kept = relations.where(~((F.col("src_id") == a) & (F.col("tgt_id") == b)))
     return kept.unionByName(_single_row(relations, row))
@@ -437,7 +444,15 @@ def merge_entities_curated(
     here, unlike the extraction pipeline's SUM — both reference rules),
     then delete the sources. target_entity_data overrides merged fields
     (:619-621). Attribute merging is driver-side over the named rows
-    (bounded by the argument list); edge rewiring is distributed."""
+    (bounded by the argument list); edge rewiring is distributed.
+
+    Deliberate divergence at :685-690: when a re-pointed edge lands on a
+    pair where the TARGET already has an edge, the reference upsert-
+    OVERWRITES the target's existing edge with the merged re-pointed data
+    (only collisions among re-pointed edges are merged there); we merge the
+    pre-existing target edge into the group too, so no edge data is
+    silently lost. Only pairs touching target_entity are re-aggregated —
+    untouched rows pass through without a shuffle."""
     strategy = {**ENTITY_MERGE_DEFAULT_STRATEGY, **(merge_strategy or {})}
     target_entity_data = target_entity_data or {}
 
@@ -491,12 +506,21 @@ def merge_entities_curated(
         .withColumn("tgt_id", F.greatest("_s", "_t"))
         .drop("_s", "_t")
     )
+    # collisions can only involve target_entity (every re-pointed endpoint
+    # became target_entity; src-src edges were dropped as self-loops), so
+    # only those pairs re-aggregate — the rest of the table passes through
+    # untouched, no full shuffle per curation call.
+    touches_target = (F.col("src_id") == target_entity) | (
+        F.col("tgt_id") == target_entity
+    )
+    untouched = rewired.where(~touches_target).drop("_orig")
     # colliding edges: concatenate descriptions in deterministic original-
     # pair order (the reference concatenates in driver iteration order —
     # meaningless under distributed input, so we fix the order), unique-
     # union keywords/sources, MAX weight.
     rels = (
-        rewired.groupBy("src_id", "tgt_id")
+        rewired.where(touches_target)
+        .groupBy("src_id", "tgt_id")
         .agg(
             F.max("weight").alias("weight"),
             F.array_join(
@@ -523,5 +547,6 @@ def merge_entities_curated(
         )
         .withColumn("keywords", F.array_join("keyword_arr", ","))
         .select(*[f.name for f in relations.schema.fields])
+        .unionByName(untouched.select(*[f.name for f in relations.schema.fields]))
     )
     return ents, rels

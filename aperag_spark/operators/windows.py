@@ -26,11 +26,15 @@ def rank_bounded(
     k: int | None = None,
     rank_col: str = "rank",
     rank_type: str = "int",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Append a 1-based dense rank by `keys` (list of (column, 'asc'|'desc'))
     to a bounded DataFrame. With k, applies orderBy().limit(k) first (the
     TakeOrderedAndProject bound); with k=None the caller guarantees the
-    input is already bounded (e.g. a union of top-k'd legs)."""
+    input is already bounded (e.g. a union of top-k'd legs) — and a
+    defensive in-plan guard raises if the collected array exceeds max_rows,
+    so a caller mistake (un-topk'd input) fails loudly instead of silently
+    becoming a single-task memory hazard."""
     order = [F.asc(c) if d == "asc" else F.desc(c) for c, d in keys]
     if k is not None:
         df = df.orderBy(*order).limit(k)
@@ -53,8 +57,22 @@ def rank_bounded(
         return expr
 
     arr = df.agg(F.collect_list(F.struct(*cols)).alias("_rows"))
+    rows_col = F.col("_rows")
+    if k is None and max_rows is not None:
+        # evaluated inside the plan (the only task that sees the full array);
+        # raise_error's NullType coerces under when/otherwise
+        rows_col = F.when(F.size("_rows") <= F.lit(max_rows), F.col("_rows")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "rank_bounded: input exceeds max_rows=%d with k=None "
+                    "(got %d rows) — bound the input (orderBy().limit) first",
+                    F.lit(max_rows),
+                    F.size("_rows"),
+                )
+            )
+        )
     out = arr.select(
-        F.posexplode(F.array_sort("_rows", _cmp)).alias("_pos", "_row")
+        F.posexplode(F.array_sort(rows_col, _cmp)).alias("_pos", "_row")
     )
     return out.select(
         *[F.col("_row")[c].alias(c) for c in cols],

@@ -243,7 +243,6 @@ Raw JSON: `{json.dumps(report)}`
     with open(os.path.join(REPO, target), "w") as f:
         f.write(md)
     print(f"report written to {target} (merge into BENCH.md manually if needed)")
-    print(f"wrote {os.path.join(REPO, 'BENCH.md')}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree("/dev/shm/kg_scaling", ignore_errors=True)
 

@@ -60,3 +60,19 @@ def test_rank_bounded_replaces_existing_rank_column(spark):
 def test_rank_bounded_empty_input(spark):
     df = spark.createDataFrame([], "id int, score double")
     assert rank_bounded(df, [("score", "desc"), ("id", "asc")], k=5).count() == 0
+
+
+def test_rank_bounded_unbounded_guard(spark):
+    """k=None + input over max_rows must fail loudly inside the plan, not
+    silently funnel an unbounded table through one collect_list task."""
+    import pytest
+
+    df = spark.range(50).selectExpr("id", "id % 7 as v")
+    keys = [("v", "desc"), ("id", "asc")]
+    with pytest.raises(Exception, match="rank_bounded: input exceeds max_rows"):
+        rank_bounded(df, keys, k=None, max_rows=10).collect()
+    # under the cap: identical to the unguarded result
+    ok = rank_bounded(df, keys, k=None, max_rows=100).collect()
+    assert len(ok) == 50 and ok[0]["rank"] == 1
+    # k given: the TakeOrderedAndProject bound applies, guard not needed
+    assert rank_bounded(df, keys, k=5, max_rows=1).count() == 5
