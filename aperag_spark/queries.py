@@ -597,6 +597,282 @@ FROM joined JOIN winner ON joined.mention = winner.mention
 """
 
 
+def _sql_render_desc(frags_expr: str) -> str:
+    """DuckDB rendering of merge.py:_summarized_by_string over a sorted
+    fragment list expression: SUMMARY:md5[:16] when the '<SEP>'-joined
+    string splits into >= {FORCE_LLM_SUMMARY_ON_MERGE} fragments."""
+    j = f"array_to_string({frags_expr}, '<SEP>')"
+    n = f"len(string_split({j}, '<SEP>'))"
+    return (
+        f"CASE WHEN {n} > 1 AND {n} >= 10 "
+        f"THEN 'SUMMARY:' || substr(md5({j}), 1, 16) ELSE {j} END"
+    )
+
+
+def _word_relation_mentions(spark, sf_dir, lo: int, hi: int):
+    """documents slice → raw relation rows in the KG relation schema:
+    adjacent-word canonical pairs as endpoints, 'seen in doc N' description,
+    the endpoints' 2-letter prefixes as keywords (exercising the ','-split
+    union of operate.py:411-422), weight 1.0 per occurrence."""
+    e = _bigram_edges(spark, sf_dir).where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+    return e.select(
+        F.col("src").alias("src_id"),
+        F.col("tgt").alias("tgt_id"),
+        F.lit(1.0).alias("weight"),
+        F.concat(F.lit("seen in doc "), F.col("doc_id")).alias("description"),
+        F.concat(
+            F.substring("src", 1, 2), F.lit(","), F.substring("tgt", 1, 2)
+        ).alias("keywords"),
+        F.concat(F.lit("chunk-"), F.col("doc_id")).alias("source_id"),
+        F.format_string("doc-%06d", F.col("doc_id")).alias("file_path"),
+        F.lit(0).alias("chunk_order_index"),
+        F.lit(0).alias("record_idx"),
+    )
+
+
+def q_kg_incremental_relations(spark, sf_dir):
+    """M7 relation-side merge-with-existing fold, ORACLE-CHECKED (the entity
+    side is kg_incremental_merge): batch A (doc_id < {INC_SPLIT}) merges
+    into a `relations` snapshot, then batch B folds in with the REAL
+    operators/incremental.merge_relations_incremental — weight SUM of new +
+    existing (operate.py:406), existing RENDERED description as ONE fragment
+    (operate.py:372-429), keyword ','-split union, provenance union."""
+    from aperag_spark.operators.incremental import merge_relations_incremental
+    from aperag_spark.operators.merge import merge_relations
+
+    a = _word_relation_mentions(spark, sf_dir, 0, INC_SPLIT)
+    b = _word_relation_mentions(spark, sf_dir, INC_SPLIT, 10**9)
+    existing = merge_relations(a)
+    out = merge_relations_incremental(b, existing)
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.col("weight").cast("bigint").alias("weight"),
+        "description",
+        "keywords",
+        F.array_join("source_ids", ",").alias("sources"),
+    )
+
+
+_SQL_INC_REL_MENTIONS = f"""
+  SELECT doc_id, src, tgt,
+         'seen in doc ' || doc_id AS description,
+         substr(src, 1, 2) || ',' || substr(tgt, 1, 2) AS kw,
+         'chunk-' || doc_id AS source_id
+  FROM ({_SQL_BIGRAM_EDGES})
+"""
+
+# merge_relations over one batch: weight = occurrence count (each raw row
+# carries weight 1.0), sorted-distinct fragments / keyword union / sources
+_SQL_REL_AGG = """
+  SELECT src, tgt,
+         CAST(count(*) AS DOUBLE) AS w,
+         list_sort(list_distinct(array_agg(description))) AS frags,
+         list_sort(list_distinct(flatten(array_agg(string_split(kw, ','))))) AS kws,
+         list_sort(list_distinct(array_agg(source_id))) AS srcs
+  FROM __SRC__ GROUP BY src, tgt
+"""
+
+ORACLE_KG_INCREMENTAL_RELATIONS = f"""
+WITH m AS ({_SQL_INC_REL_MENTIONS}),
+a AS (SELECT * FROM m WHERE doc_id < {INC_SPLIT}),
+b AS (SELECT * FROM m WHERE doc_id >= {INC_SPLIT}),
+-- === snapshot from batch A (merge_relations semantics) ===
+a_agg AS ({_SQL_REL_AGG.replace('__SRC__', 'a')}),
+a_snap AS (
+  SELECT src, tgt, w AS old_w,
+         {_sql_render_desc('frags')} AS old_desc,
+         kws AS old_kws, srcs AS old_srcs
+  FROM a_agg
+),
+-- === fold batch B into the snapshot (merge_relations_incremental) ===
+b_agg AS ({_SQL_REL_AGG.replace('__SRC__', 'b')}),
+joined AS (
+  SELECT coalesce(b_agg.src, a_snap.src) AS src_id,
+         coalesce(b_agg.tgt, a_snap.tgt) AS tgt_id,
+         coalesce(b_agg.w, 0) + coalesce(a_snap.old_w, 0) AS weight,
+         list_sort(list_distinct(list_concat(
+           coalesce(b_agg.frags, []),
+           CASE WHEN a_snap.src IS NULL THEN [] ELSE [a_snap.old_desc] END
+         ))) AS frags,
+         list_sort(list_distinct(list_concat(
+           coalesce(b_agg.kws, []), coalesce(a_snap.old_kws, [])
+         ))) AS kws,
+         list_sort(list_distinct(list_concat(
+           coalesce(b_agg.srcs, []), coalesce(a_snap.old_srcs, [])
+         ))) AS srcs
+  FROM b_agg FULL OUTER JOIN a_snap
+    ON b_agg.src = a_snap.src AND b_agg.tgt = a_snap.tgt
+)
+SELECT src_id, tgt_id, CAST(weight AS BIGINT) AS weight,
+       {_sql_render_desc('frags')} AS description,
+       array_to_string(kws, ',') AS keywords,
+       array_to_string(srcs, ',') AS sources
+FROM joined
+"""
+
+
+def q_kg_curated_merge(spark, sf_dir):
+    """M14 amerge_entities strategy matrix, ORACLE-CHECKED (utils_graph.py:
+    548-766): merge the #2/#3 entities (by mention_count desc, name asc)
+    into the #1 entity with an explicit per-field strategy covering
+    concatenate (description), keep_last (entity_type), join_unique
+    (source_id) and keep_first (file_path); re-pointed edge collisions merge
+    under the fixed MAX-weight matrix (utils_graph.py:668-676) — all five
+    strategies in one query. The named-entity selection is a bounded
+    driver-side collect (3 rows), matching the reference's driver-side verb.
+    Output: every post-merge edge touching the target, joined with the
+    merged target entity's attributes."""
+    from aperag_spark.operators.maintenance import merge_entities_curated
+    from aperag_spark.operators.merge import merge_entities, merge_relations
+
+    ents = merge_entities(_word_entity_mentions(spark, sf_dir, 0, 10**9))
+    rels = merge_relations(_word_relation_mentions(spark, sf_dir, 0, 10**9)).drop(
+        "pre_summary_description", "first_occ"
+    )
+    top = (
+        ents.select("entity_id", "mention_count")
+        .orderBy(F.desc("mention_count"), F.asc("entity_id"))
+        .limit(3)
+        .collect()
+    )
+    target, s1, s2 = (r["entity_id"] for r in top)
+    ents2, rels2 = merge_entities_curated(
+        ents,
+        rels,
+        [s1, s2],
+        target,
+        merge_strategy={
+            "description": "concatenate",
+            "entity_type": "keep_last",
+            "source_id": "join_unique",
+            "file_path": "keep_first",
+        },
+    )
+    trow = ents2.where(F.col("entity_id") == target).select(
+        F.col("entity_type").alias("target_type"),
+        F.col("description").alias("target_description"),
+        F.array_join("source_ids", "<SEP>").alias("target_sources"),
+        F.array_join("file_paths", "<SEP>").alias("target_files"),
+        F.col("mention_count").cast("bigint").alias("target_mentions"),
+    )
+    return (
+        rels2.where((F.col("src_id") == target) | (F.col("tgt_id") == target))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("description").alias("rel_description"),
+            F.col("keywords").alias("rel_keywords"),
+            F.array_join("source_ids", ",").alias("rel_sources"),
+        )
+        .crossJoin(F.broadcast(trow))
+    )
+
+
+ORACLE_KG_CURATED_MERGE = f"""
+WITH em AS ({_SQL_INC_MENTIONS}),
+-- === merge_entities over the full corpus ===
+e_type AS (
+  SELECT mention, t, count(*) AS cnt, min({_SQL_OCCK}) AS occk
+  FROM em GROUP BY mention, t
+),
+e_winner AS (
+  SELECT mention, t FROM (
+    SELECT mention, t, row_number() OVER (
+      PARTITION BY mention ORDER BY cnt DESC, occk) AS rn
+    FROM e_type) WHERE rn = 1
+),
+e_agg AS (
+  SELECT mention,
+         list_sort(list_distinct(array_agg(description))) AS frags,
+         list_sort(list_distinct(array_agg(source_id))) AS srcs,
+         list_sort(list_distinct(array_agg(fp))) AS fps,
+         count(*) AS cnt
+  FROM em GROUP BY mention
+),
+ent AS (
+  SELECT e_agg.mention, e_winner.t AS etype,
+         {_sql_render_desc('frags')} AS edesc,
+         srcs, fps, cnt
+  FROM e_agg JOIN e_winner ON e_agg.mention = e_winner.mention
+),
+-- === named-entity selection: #1 = target, #2/#3 = sources (arg order) ===
+sel AS (
+  SELECT max(CASE WHEN rn = 1 THEN mention END) AS tgt_name,
+         max(CASE WHEN rn = 2 THEN mention END) AS s1,
+         max(CASE WHEN rn = 3 THEN mention END) AS s2
+  FROM (SELECT mention, row_number() OVER (ORDER BY cnt DESC, mention) AS rn
+        FROM ent) WHERE rn <= 3
+),
+-- === _merge_entity_attributes in data_list order [s1, s2, target] ===
+tent AS (
+  SELECT sel.tgt_name,
+         -- keep_last over truthy types = existing target's type
+         (SELECT etype FROM ent WHERE mention = sel.tgt_name) AS target_type,
+         -- concatenate in list order
+         (SELECT edesc FROM ent WHERE mention = sel.s1) || chr(10) || chr(10) ||
+         (SELECT edesc FROM ent WHERE mention = sel.s2) || chr(10) || chr(10) ||
+         (SELECT edesc FROM ent WHERE mention = sel.tgt_name) AS target_description,
+         -- join_unique over the three <SEP>-joined source_id strings
+         array_to_string(list_sort(list_distinct(
+           (SELECT srcs FROM ent WHERE mention = sel.s1) ||
+           (SELECT srcs FROM ent WHERE mention = sel.s2) ||
+           (SELECT srcs FROM ent WHERE mention = sel.tgt_name)
+         )), '<SEP>') AS target_sources,
+         -- keep_first = s1's file_path string
+         array_to_string((SELECT fps FROM ent WHERE mention = sel.s1), '<SEP>')
+           AS target_files,
+         CAST((SELECT sum(cnt) FROM ent
+               WHERE mention IN (sel.s1, sel.s2, sel.tgt_name)) AS BIGINT)
+           AS target_mentions
+  FROM sel
+),
+-- === merge_relations over the full corpus, then rewire and re-merge ===
+rm AS ({_SQL_INC_REL_MENTIONS}),
+rel AS (
+  SELECT src, tgt,
+         CAST(count(*) AS DOUBLE) AS w,
+         list_sort(list_distinct(array_agg(description))) AS frags,
+         list_sort(list_distinct(flatten(array_agg(string_split(kw, ','))))) AS kws,
+         list_sort(list_distinct(array_agg(source_id))) AS srcs
+  FROM rm GROUP BY src, tgt
+),
+rendered AS (
+  SELECT src, tgt, w, {_sql_render_desc('frags')} AS rdesc, kws, srcs FROM rel
+),
+rewired AS (
+  SELECT r.src AS orig_src, r.tgt AS orig_tgt,
+         CASE WHEN r.src IN (sel.s1, sel.s2) THEN sel.tgt_name ELSE r.src END AS s,
+         CASE WHEN r.tgt IN (sel.s1, sel.s2) THEN sel.tgt_name ELSE r.tgt END AS t,
+         r.w, r.rdesc, r.kws, r.srcs, sel.tgt_name
+  FROM rendered r CROSS JOIN sel
+),
+canon AS (
+  SELECT least(s, t) AS src_id, greatest(s, t) AS tgt_id,
+         orig_src, orig_tgt, w, rdesc, kws, srcs, tgt_name
+  FROM rewired WHERE s <> t
+),
+agg AS (
+  SELECT src_id, tgt_id,
+         CAST(max(w) AS BIGINT) AS weight,
+         string_agg(rdesc, chr(10) || chr(10)
+                    ORDER BY orig_src, orig_tgt) AS rel_description,
+         array_to_string(list_sort(list_distinct(flatten(array_agg(kws)))), ',')
+           AS rel_keywords,
+         array_to_string(list_sort(list_distinct(flatten(array_agg(srcs)))), ',')
+           AS rel_sources
+  FROM canon WHERE src_id = tgt_name OR tgt_id = tgt_name
+  GROUP BY src_id, tgt_id
+)
+SELECT agg.*, tent.target_type, tent.target_description,
+       tent.target_sources, tent.target_files, tent.target_mentions
+FROM agg CROSS JOIN tent
+"""
+
+
 def q_kg_connected_components(spark, sf_dir):
     """M1 connected components, ORACLE-CHECKED: the distributed hash-min +
     pointer-jumping operator (operators/components.py — the alias-collapse
@@ -1755,26 +2031,29 @@ FROM q JOIN d ON q.doc_id = d.doc_id
 
 
 
-def q_corpus_stats(spark, sf_dir):
-    """Corpus-level rollup: doc count, token totals, exact interpolated
-    median/p90 of doc length, distinct-vocabulary size — the dataset-card
-    numbers.
+def q_corpus_stats(spark, sf_dir, exact: bool = True, accuracy: int = 10_000):
+    """Corpus-level rollup: doc count, token totals, interpolated median/p90
+    of doc length, distinct-vocabulary size — the dataset-card numbers.
 
     Scale notes: vocab_size is a distributed explode→countDistinct (shuffle
     on token, map-side partial), NOT a collect_list of per-doc vocabularies.
-    The percentiles are EXACT (for bit-wise oracle agreement) — exact
-    percentile buffers the value multiset through one aggregation path, so
-    at 100 TB swap to approx_percentile(·, ·, accuracy) and relax the oracle
-    to a tolerance; n_tokens-per-doc is one double per document, which keeps
-    exact viable far longer than it sounds."""
+    The default EXACT percentiles (for bit-wise oracle agreement) buffer the
+    value multiset through one aggregation path; `exact=False` is the 100 TB
+    path — approx_percentile's KLL-style sketch with bounded memory and a
+    rank-error guarantee of n/accuracy, tolerance-checked against the exact
+    values at three SFs in tests/test_properties.py. n_tokens-per-doc is one
+    double per document, which keeps exact viable far longer than it sounds,
+    but a dataset card doesn't need the exact p90 — flip the flag."""
     docs = _t(spark, sf_dir, "documents")
     ws = _words()
     per_doc = docs.select(F.size(ws).cast("double").alias("n_tokens"))
+    pct = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("median_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr(f"{pct}(n_tokens, 0.5{acc})"), 4).alias("median_tokens"),
+        F.round(F.expr(f"{pct}(n_tokens, 0.9{acc})"), 4).alias("p90_tokens"),
     )
     vocab = (
         docs.select(F.explode(F.array_distinct(ws)).alias("tok"))
@@ -2179,6 +2458,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_connected_components": q_kg_connected_components,
     "kg_token_budget": q_kg_token_budget,
     "kg_incremental_merge": q_kg_incremental_merge,
+    "kg_incremental_relations": q_kg_incremental_relations,
+    "kg_curated_merge": q_kg_curated_merge,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
@@ -2220,6 +2501,8 @@ ORACLES: dict[str, str] = {
     "kg_connected_components": ORACLE_KG_CONNECTED_COMPONENTS,
     "kg_token_budget": ORACLE_KG_TOKEN_BUDGET,
     "kg_incremental_merge": ORACLE_KG_INCREMENTAL_MERGE,
+    "kg_incremental_relations": ORACLE_KG_INCREMENTAL_RELATIONS,
+    "kg_curated_merge": ORACLE_KG_CURATED_MERGE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
     "dedup_minhash_candidates": ORACLE_DEDUP_MINHASH_CANDIDATES,

@@ -184,3 +184,38 @@ def test_markdown_fence_preserves_code_verbatim(body):
     assert len(code) == 1
     inner = code[0]["content"].split("\n")[1:-1]
     assert "\n".join(inner) == body.strip()
+
+
+def test_corpus_stats_approx_within_rank_bound(spark):
+    """The exact=False corpus_stats path (approx_percentile, the 100 TB
+    swap documented in q_corpus_stats) must agree with the exact path
+    within approx_percentile's rank-error guarantee: the approx value lies
+    between the exact percentiles at p ± 1/accuracy. Checked at 3 SFs; the
+    non-percentile columns must be identical."""
+    import pyspark.sql.functions as F
+
+    from aperag_spark.queries import _t, _words, q_corpus_stats
+
+    acc = 1000
+    eps = 1.0 / acc
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        exact = q_corpus_stats(spark, sf_dir, exact=True).collect()[0]
+        approx = q_corpus_stats(spark, sf_dir, exact=False, accuracy=acc).collect()[0]
+        for col in ("n_docs", "total_tokens", "vocab_size"):
+            assert approx[col] == exact[col], (sf, col)
+        bounds = (
+            _t(spark, sf_dir, "documents")
+            .select(F.size(_words()).cast("double").alias("n_tokens"))
+            .agg(
+                *[
+                    F.expr(f"percentile(n_tokens, {q})").alias(f"b{i}")
+                    for i, q in enumerate(
+                        (0.5 - eps, 0.5 + eps, 0.9 - eps, 0.9 + eps)
+                    )
+                ]
+            )
+            .collect()[0]
+        )
+        assert bounds["b0"] <= approx["median_tokens"] <= bounds["b1"], sf
+        assert bounds["b2"] <= approx["p90_tokens"] <= bounds["b3"], sf
