@@ -25,6 +25,17 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pyspark.sql.functions as F
+from aperag_spark.operators.corpus import (
+    DEDUP_CLUSTER_T,
+    MINHASH_BUCKET_CAP,
+    N_MINHASH,
+    QF_MAX_TOKENS,
+    QF_MIN_DISTINCT_RATIO,
+    QF_MIN_STOPWORD,
+    QF_MIN_TOKENS,
+    QF_TOKEN_LEN_RANGE,
+    STOPWORDS,
+)
 from aperag_spark.operators.windows import rank_bounded
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -33,12 +44,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 TOKEN_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\w\s]+|\s+"
 _SQL_TOKEN_REGEX = TOKEN_REGEX.replace("'", "''")
 
-STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
 _SQL_STOPWORDS = "(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 CHUNK_SIZE = 60  # documents are 10-99 tokens; 60/10 gives multi-chunk docs
 CHUNK_OVERLAP = 10
-N_MINHASH = 8
 MIN_WORD_LEN = 4
 
 
@@ -220,7 +229,7 @@ def _bigram_edges(spark, sf_dir):
     """Adjacent-word pairs → canonical (least, greatest) undirected edges
     (M8, operate.py:553-555), self-loops dropped (operate.py:206-208)."""
     # zip_with over a shifted slice, not element_at-in-lambda (see
-    # _minhash_doc_batches for why: interpreted HOF lambdas re-evaluate split()).
+    # operators/corpus.minhash_doc_batches for why: interpreted HOF lambdas re-evaluate split()).
     docs = _t(spark, sf_dir, "documents").select("doc_id", _words().alias("ws"))
     pairs = docs.where(F.size("ws") >= 2).select(
         "doc_id",
@@ -963,7 +972,7 @@ FROM documents GROUP BY md5(text)
 
 
 # (the former pure-JVM _shingle_col zip_with builder was replaced by the
-# Arrow kernel below — HOF chains run interpreted; see _minhash_doc_batches)
+# Arrow kernel in operators/corpus.py — HOF chains run interpreted)
 _SQL_SHINGLES = """
   SELECT doc_id,
          list_distinct(list_transform(
@@ -975,69 +984,45 @@ _SQL_SHINGLES = """
 """
 
 
-_MINHASH_DOC_SCHEMA = "doc_id bigint, hs array<string>, mh array<string>"
+def _corpus_stage(spark, sf_dir, stage: str) -> DataFrame:
+    """Read `stage` from the session-scoped STAGED corpus pipeline for
+    sf_dir (plans/corpus.py), building missing prefix stages on first use.
+    The battery's dedup consumers (signatures / candidates / cluster /
+    select) share ONE materialization of the MinHash+LSH+CC chain instead
+    of re-executing it per query — the same staged-write treatment the KG
+    side gets from plans/pipeline.py, which is exactly what a 100 TB corpus
+    build does (materialize the dedup verdict once, every consumer reads
+    the stage table). Manifest checks make rebuilds no-ops; the stage dir
+    is keyed by pid + corpus path, so parallel drivers don't collide."""
+    import os
+    import re
+    import tempfile
 
+    from aperag_spark.plans.corpus import run_corpus_pipeline
 
-def _minhash_doc_batches(it):
-    """Arrow-side combined MinHash kernel: ONE text pass per doc emits both
-    the verify tokens (hs: 16-hex md5 prefixes of the distinct 3-word
-    shingles) and the full signature (mh[k] = min over shingles of
-    md5(shingle:k)). Replaces two separate JVM derivations that each
-    re-split the text through interpreted HOF chains (the sig expr and the
-    verify `sh` subplan) — measured value-identical to both. Word split
-    mimics Java String.split (leading empties kept, trailing dropped) so
-    the token sets match the F.split/string_split_regex pair the (unchanged)
-    oracles use."""
-    import hashlib
-    import re as _re
-
-    import pyarrow as pa
-
-    sufs = [f":{k}".encode() for k in range(N_MINHASH)]
-    for batch in it:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        od, ohs, omh = [], [], []
-        for d, t in zip(ids, texts):
-            w = _re.split(r"\s+", t or "")
-            while w and w[-1] == "":
-                w.pop()
-            if len(w) < 3:
-                continue
-            sh = {f"{w[i]} {w[i + 1]} {w[i + 2]}" for i in range(len(w) - 2)}
-            enc = [s.encode() for s in sh]
-            od.append(d)
-            ohs.append([hashlib.md5(e).hexdigest()[:16] for e in enc])
-            omh.append(
-                [min(hashlib.md5(e + suf).hexdigest() for e in enc) for suf in sufs]
-            )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(od, pa.int64()),
-                pa.array(ohs, pa.list_(pa.string())),
-                pa.array(omh, pa.list_(pa.string())),
-            ],
-            ["doc_id", "hs", "mh"],
-        )
-
-
-def _minhash_docs(spark, sf_dir):
-    """(doc_id, hs, mh) per doc with >=1 shingle — the single source for
-    the signature, candidate, bucket-stat, and cluster queries."""
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    key = os.path.abspath(sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"aperag_corpus_stages_{os.getpid()}",
+        re.sub(r"[^A-Za-z0-9._-]+", "_", key).strip("_"),
     )
-    return docs.mapInArrow(_minhash_doc_batches, _MINHASH_DOC_SCHEMA)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = run_corpus_pipeline(
+        spark, docs, out_dir, input_fingerprint=key, upto=stage
+    )
+    return res[stage]
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
     """MinHash signatures: per (doc, seed), min over shingles of
     md5(shingle:seed). Portable hash (md5) so the oracle reproduces it;
     at production scale this is the same shape with xxhash64. Computed by
-    the combined Arrow kernel (_minhash_doc_batches) — the former pure-JVM
-    form (8 interpreted transform/array_min HOF passes over a zip_with
-    shingle build) was measured value-identical and ~20% slower."""
-    return _minhash_docs(spark, sf_dir).select(
+    the combined Arrow kernel (operators/corpus.minhash_doc_batches) — the
+    former pure-JVM form (8 interpreted transform/array_min HOF passes over
+    a zip_with shingle build) was measured value-identical and ~20% slower
+    — materialized once via the staged corpus pipeline."""
+    md = _corpus_stage(spark, sf_dir, "minhash")
+    return md.select(
         "doc_id", F.posexplode("mh").alias("seed", "minhash")
     ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
@@ -1054,77 +1039,17 @@ WHERE len(shingles) >= 1
 """
 
 
-MINHASH_BUCKET_CAP = 64  # standard LSH practice: a bucket this crowded is
-# boilerplate (a shingle shared by everything) and carries no dedup signal;
-# without the cap, ONE degenerate bucket of 1M docs builds ~10^12 pairs in a
-# single task. Dropped buckets are observable via q_dedup_minhash_bucket_stats.
-
-
 def q_dedup_minhash_candidates(spark, sf_dir):
-    """LSH banding: docs sharing any (seed, minhash) bucket become candidate
-    pairs, then exact shingle-Jaccard is computed per pair (verify step).
-    Self-join on the bucket key — at scale, bucket sizes bound the quadratic
-    blow-up (no all-pairs comparison ever happens).
-
-    One Arrow pass (_minhash_doc_batches) produces BOTH the banding
-    signatures and the verify tokens, checkpointed once — the former plan
-    re-split and re-hashed the corpus text twice (sig expr + verify `sh`
-    subplan), each through interpreted HOF chains."""
-    md = _minhash_docs(spark, sf_dir).localCheckpoint()
-    sig = md.select("doc_id", F.posexplode("mh").alias("seed", "minhash"))
-    # bucket-local pair generation: group each (seed, minhash) bucket's
-    # members and emit the O(bucket²) pairs from the sorted member array —
-    # one aggregation instead of a self-join that computes the signature
-    # subplan twice. Bucket sizes ≤ MINHASH_BUCKET_CAP bound the blow-up
-    # (max cap·(cap-1)/2 = 2016 pairs per bucket row) at any scale.
-    buckets = (
-        sig.groupBy("seed", "minhash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
-        .where(
-            (F.size("members") > 1) & (F.size("members") <= MINHASH_BUCKET_CAP)
-        )
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("members") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("members"), i + 1, F.size("members")),
-                            lambda m: F.struct(
-                                F.element_at("members", i).alias("doc_a"),
-                                m.alias("doc_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
-    # verify step over PRE-HASHED shingle tokens (md5 prefix, 16 hex chars):
-    # constant-size tokens instead of raw 3-word shingle strings, so the
-    # two pair-joins shuffle a fraction of the bytes; set-Jaccard over
-    # deterministic hashes is identical to string Jaccard modulo md5
-    # collisions — and the oracle applies the SAME hashing, so both engines
-    # agree exactly. At 100 TB this is the difference between shipping the
-    # corpus text through the verify shuffle and shipping fixed-width keys.
-    sh = md.select("doc_id", "hs")
-    return (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
-        .select(
-            F.col("doc_a").cast("bigint").alias("doc_a"),
-            F.col("doc_b").cast("bigint").alias("doc_b"),
-            F.round(
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    """LSH banding + verify (operators/corpus.minhash_candidates): docs
+    sharing any (seed, minhash) bucket become candidate pairs via
+    bucket-LOCAL pair generation (sizes ≤ MINHASH_BUCKET_CAP bound the
+    quadratic blow-up — no all-pairs comparison ever happens), then exact
+    shingle-Jaccard per pair over PRE-HASHED 16-hex verify tokens
+    (constant-width shuffle keys; the oracle applies the same hashing, so
+    both engines agree exactly). Served from the staged corpus pipeline's
+    `candidates` table — one materialization for this query, the cluster
+    verdict, and the corpus-select endpoint."""
+    return _corpus_stage(spark, sf_dir, "candidates")
 
 
 ORACLE_DEDUP_MINHASH_CANDIDATES = f"""
@@ -1187,9 +1112,6 @@ FROM sizes GROUP BY seed
 """
 
 
-DEDUP_CLUSTER_T = 0.6  # exact-Jaccard threshold declaring two docs duplicates
-
-
 def q_dedup_cluster(spark, sf_dir):
     """The dedup family's FINAL stage — detect -> cluster -> select
     canonical -> keep/purge verdict, the shape a training-data pipeline
@@ -1203,33 +1125,9 @@ def q_dedup_cluster(spark, sf_dir):
 
     Scale shape: the edge list is the bucket-capped verified pair list
     (tiny vs the corpus); CC iterates O(log d) rounds on it; the final
-    verdict is one broadcast-sized left join against the corpus ids."""
-    from aperag_spark.operators.components import connected_components
-
-    # checkpoint the (tiny) verified edge list: CC's iterative rounds and
-    # its initial label build would otherwise re-execute the whole
-    # MinHash-LSH + verify subplan once per consumer
-    pairs = (
-        q_dedup_minhash_candidates(spark, sf_dir)
-        .where(F.col("jaccard") >= DEDUP_CLUSTER_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("bigint").alias("doc_id")
-    )
-    canon = F.coalesce("component", F.col("doc_id"))
-    return (
-        docs.join(
-            cc.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
-        )
-        .select(
-            "doc_id",
-            canon.cast("bigint").alias("canonical_id"),
-            (canon == F.col("doc_id")).alias("keep"),
-        )
-    )
+    verdict is one doc_id-keyed left join. Served from the staged corpus
+    pipeline's `clusters` table (operators/corpus.cluster_verdict)."""
+    return _corpus_stage(spark, sf_dir, "clusters")
 
 
 ORACLE_DEDUP_CLUSTER = f"""
@@ -1928,43 +1826,16 @@ FROM ws
 """
 
 
-QF_MIN_TOKENS, QF_MAX_TOKENS = 15, 5000
-QF_MIN_STOPWORD = 0.01
-QF_MIN_DISTINCT_RATIO = 0.2
-QF_TOKEN_LEN_RANGE = (2.0, 12.0)
-
-
 def q_quality_filter(spark, sf_dir):
     """Gopher-style corpus quality gate (Rae et al. 2021 §A1.1, public):
     per-doc keep/drop with machine-readable reasons — length window,
     stopword floor, repetition (distinct-token ratio), mean token length
-    window. One narrow projection over text_stats' expressions; at 100 TB
-    this is the canonical pre-training filter pass (scan-bound, no
-    shuffle)."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = _words()
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tokens = F.size(ws)
-    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / n_tokens
-    distinct_ratio = F.size(F.array_distinct(ws)) / n_tokens
-    tok_len = F.length("text") / n_tokens
-    checks = [
-        ("too_short", n_tokens < QF_MIN_TOKENS),
-        ("too_long", n_tokens > QF_MAX_TOKENS),
-        ("low_stopword", stop_ratio < QF_MIN_STOPWORD),
-        ("repetitive", distinct_ratio < QF_MIN_DISTINCT_RATIO),
-        ("weird_token_len",
-         (tok_len < QF_TOKEN_LEN_RANGE[0]) | (tok_len > QF_TOKEN_LEN_RANGE[1])),
-    ]
-    reasons = F.filter(
-        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in checks]),
-        lambda x: x.isNotNull(),
-    )
-    return docs.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        (F.size(reasons) == 0).alias("keep"),
-        F.array_join(reasons, ",").alias("reasons"),
-    )
+    window (operators/corpus.quality_filter). One narrow projection; at
+    100 TB this is the canonical pre-training filter pass (scan-bound, no
+    shuffle) — cheap enough that it is NOT staged."""
+    from aperag_spark.operators.corpus import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
 
 
 ORACLE_QUALITY_FILTER = f"""
@@ -2001,23 +1872,13 @@ def q_corpus_select(spark, sf_dir):
     final per-doc selection verdict = Gopher quality gate AND near-dup
     keep-list, with both component verdicts kept for observability (the
     'no silent caps' rule applied to the corpus itself — every dropped doc
-    is attributable to quality reasons or a duplicate cluster). Composes
-    q_quality_filter (scan-bound projection) with q_dedup_cluster
-    (bucket-capped LSH + CC); the join is on doc_id — at 100 TB both
+    is attributable to quality reasons or a duplicate cluster). Served
+    from the staged corpus pipeline's `verdicts` table
+    (operators/corpus.select_verdict = scan-bound quality gate joined with
+    the staged cluster verdict); the join is on doc_id — at 100 TB both
     sides are partitioned by the same key and the verdict join is
     co-located."""
-    q = q_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("quality_keep")
-    )
-    d = q_dedup_cluster(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("dedup_keep")
-    )
-    return q.join(d, "doc_id").select(
-        "doc_id",
-        "quality_keep",
-        "dedup_keep",
-        (F.col("quality_keep") & F.col("dedup_keep")).alias("selected"),
-    )
+    return _corpus_stage(spark, sf_dir, "verdicts")
 
 
 
