@@ -456,3 +456,216 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return q
+
+
+def run_streaming_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    bucket_cap: int | None = None,
+    threshold: float | None = None,
+):
+    """Streaming NEAR-dup dedup — the ingest-side counterpart of the batch
+    dedup_cluster endpoint (operators/corpus.py), completing the streaming
+    story the way streaming_exact_dedup did for exact dedup: a continuously
+    fed corpus gets near-dup verdicts WITHOUT batch replay. Each micro-batch
+    of documents is MinHashed once (the same Arrow kernel as batch), new
+    docs pair only against the ≤bucket_cap members already stored for the
+    buckets they land in (state = bucket → member ids + per-doc verify
+    tokens, both shuffle-partitioned tables), pairs are verified by exact
+    shingle-Jaccard, edges accumulate, and connected components over the
+    (tiny, bucket-capped) accumulated edge list refreshes the per-doc
+    (canonical_id, keep) verdict snapshot.
+
+    State tables under out_dir (at scale: Iceberg, partitioned by key):
+      ids/      every ingested doc_id              (batch=N partition dirs)
+      sigs/     doc_id → verify tokens hs          (the per-doc signatures)
+      buckets/  (seed, minhash) → member doc_ids   (the banding state)
+      edges/    verified duplicate pairs ≥ threshold
+      verdicts_vN/ + LATEST pointer — versioned snapshot, atomically swung
+      after each applied batch (same exactly-once mechanics as
+      run_incremental_graph_stream: replayed batches see their id applied
+      and skip).
+
+    Cap semantics — deliberate, documented divergence from batch: batch
+    drops ALL pairs of a bucket that ends up over MINHASH_BUCKET_CAP
+    (retroactive, needs the full corpus); a stream cannot retract already-
+    emitted pairs, so a bucket emits pairs only while old+new members fit
+    the cap and freezes forever once it would overflow (prefix-cap). On a
+    corpus where no bucket ever exceeds the cap the two semantics coincide
+    exactly — tests/test_streaming_multimodal.py proves stream == batch
+    dedup_cluster verdicts there, and the freeze behavior separately.
+
+    Returns the LATEST pointer dict (batch_id, verdicts path)."""
+    import json
+    import os
+
+    from aperag_spark.operators.components import connected_components
+    from aperag_spark.operators.corpus import (
+        DEDUP_CLUSTER_T,
+        MINHASH_BUCKET_CAP,
+        minhash_docs,
+    )
+
+    cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    thr = DEDUP_CLUSTER_T if threshold is None else threshold
+    os.makedirs(out_dir, exist_ok=True)
+    pointer = os.path.join(out_dir, "LATEST")
+
+    def _read_pointer():
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return json.load(f)
+
+    def _store(name: str, schema: str) -> DataFrame:
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path) and any(
+            e.startswith("batch=") for e in os.listdir(path)
+        ):
+            return spark.read.parquet(path).drop("batch")
+        return spark.createDataFrame([], schema)
+
+    def _append(df: DataFrame, name: str, bid: int) -> None:
+        # per-batch partition dir, overwritten on replay → idempotent append
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, name, f"batch={bid}")
+        )
+
+    def _fold(batch_df, bid: int):
+        prev = _read_pointer()
+        if prev is not None and bid <= prev["batch_id"]:
+            return  # replayed batch after restart: already applied
+        docs = batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        _append(docs.select("doc_id"), "ids", bid)
+        md = minhash_docs(docs)
+        _append(md, "sigs", bid)
+        md = spark.read.parquet(os.path.join(out_dir, "sigs", f"batch={bid}"))
+
+        new_b = md.select(
+            "doc_id", F.posexplode("mh").alias("seed", "minhash")
+        )
+        old_b = _store("buckets", "seed int, minhash string, doc_id long")
+        old_cnt = old_b.groupBy("seed", "minhash").agg(
+            F.count(F.lit(1)).alias("old_cnt")
+        )
+        # per touched bucket: new members + the stored count
+        nb = (
+            new_b.groupBy("seed", "minhash")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("new_members"))
+            .join(old_cnt, ["seed", "minhash"], "left")
+            .withColumn("old_cnt", F.coalesce("old_cnt", F.lit(0)))
+        )
+        ok = nb.where(
+            F.col("old_cnt") + F.size("new_members") <= F.lit(cap)
+        ).localCheckpoint()
+        # new × old pairs (join members already stored for ok buckets)
+        n_flat = ok.select(
+            "seed", "minhash", F.explode("new_members").alias("new_id")
+        )
+        po = (
+            n_flat.join(old_b, ["seed", "minhash"])
+            .where(F.col("doc_id") != F.col("new_id"))
+            .select(
+                F.least("doc_id", "new_id").alias("doc_a"),
+                F.greatest("doc_id", "new_id").alias("doc_b"),
+            )
+        )
+        # new × new pairs, bucket-local over the sorted member array
+        # (size > 1 guard: sequence(1, 0) would descend through index 0)
+        pn = ok.where(F.size("new_members") > 1).select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("new_members") - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col("new_members"), i + 1, F.size("new_members")),
+                            lambda m: F.struct(
+                                F.element_at("new_members", i).alias("doc_a"),
+                                m.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        pairs = po.unionByName(pn).distinct()
+        # verify on the accumulated signature store (constant-width tokens)
+        sigs_all = _store("sigs", "doc_id bigint, hs array<string>, mh array<string>")
+        sh = sigs_all.select("doc_id", "hs")
+        edges = (
+            pairs.join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+                "doc_b",
+            )
+            .where(
+                F.round(
+                    F.size(F.array_intersect("hs_a", "hs_b"))
+                    / F.size(F.array_union("hs_a", "hs_b")),
+                    6,
+                )
+                >= F.lit(thr)
+            )
+            .select("doc_a", "doc_b")
+        )
+        _append(edges, "edges", bid)
+        # grow bucket state only while within the cap (frozen buckets stop)
+        grow = n_flat.join(
+            ok.select("seed", "minhash"), ["seed", "minhash"]
+        ).select("seed", "minhash", F.col("new_id").alias("doc_id"))
+        # the FIRST over-cap arrival is still recorded so the bucket stays
+        # frozen; later arrivals to an already-frozen bucket (old_cnt > cap)
+        # append nothing — state growth per bucket is bounded by cap + one
+        # batch's members
+        freeze = (
+            nb.where(
+                (F.col("old_cnt") + F.size("new_members") > F.lit(cap))
+                & (F.col("old_cnt") <= F.lit(cap))
+            )
+            .select("seed", "minhash", F.explode("new_members").alias("doc_id"))
+        )
+        _append(grow.unionByName(freeze), "buckets", bid)
+
+        # refresh the verdict: CC over the accumulated (tiny) edge list
+        edges_all = _store("edges", "doc_a bigint, doc_b bigint").localCheckpoint()
+        ids_all = _store("ids", "doc_id long")
+        if edges_all.take(1):
+            cc = connected_components(edges_all, src="doc_a", dst="doc_b")
+            cc = cc.select(F.col("node").alias("doc_id"), "component")
+        else:
+            cc = spark.createDataFrame([], "doc_id long, component long")
+        canon = F.coalesce("component", F.col("doc_id"))
+        verdict = ids_all.join(cc, "doc_id", "left").select(
+            "doc_id",
+            canon.cast("bigint").alias("canonical_id"),
+            (canon == F.col("doc_id")).alias("keep"),
+        )
+        v_path = os.path.join(out_dir, f"verdicts_v{bid}")
+        verdict.write.mode("overwrite").parquet(v_path)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": bid, "verdicts": v_path}, f)
+        os.replace(tmp, pointer)  # atomic pointer swing = the commit point
+
+    from aperag_spark.queries import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs_stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_pointer()

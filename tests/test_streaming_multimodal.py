@@ -425,3 +425,101 @@ def test_probe_media_real_headers(spark):
     assert rows["c"]["duration_s"] == 2.0
     assert rows["d"]["mime"] is None
     assert "data" not in rows["a"].asDict()  # payload dropped before shuffle
+
+
+def test_streaming_neardup_matches_batch_cluster(spark, tmp_path):
+    """The streaming near-dup fold (run_streaming_neardup) must reach the
+    SAME final verdict as the batch dedup_cluster endpoint when the same
+    docs arrive across micro-batches — the regime where the two cap
+    semantics coincide (no bucket ever exceeds the cap on this corpus;
+    asserted below). Also: restart on the same checkpoint is a no-op."""
+    import pyspark.sql.functions as F
+
+    from aperag_spark.operators.corpus import (
+        DEDUP_CLUSTER_T,
+        cluster_verdict,
+        minhash_candidates,
+        minhash_docs,
+    )
+    from aperag_spark.streaming.stream import run_streaming_neardup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    # precondition for exact equality: no bucket over the cap
+    md = minhash_docs(docs).localCheckpoint()
+    max_bucket = (
+        md.select(F.posexplode("mh").alias("seed", "minhash"))
+        .groupBy("seed", "minhash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= 64, "corpus no longer cap-free; pick another input"
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "neardup")
+    ckpt = str(tmp_path / "ckpt_nd")
+    # 4 files → 4 micro-batches under maxFilesPerTrigger=1
+    docs.repartition(4).write.parquet(docs_dir)
+
+    ptr = run_streaming_neardup(spark, docs_dir, out, ckpt, max_files_per_trigger=1)
+    assert ptr is not None and ptr["batch_id"] >= 1  # really incremental
+
+    streamed = {
+        (r["doc_id"], r["canonical_id"], r["keep"])
+        for r in spark.read.parquet(ptr["verdicts"]).collect()
+    }
+    cand = minhash_candidates(md, checkpoint=False)
+    batch = {
+        (r["doc_id"], r["canonical_id"], r["keep"])
+        for r in cluster_verdict(
+            cand.where(F.col("jaccard") >= DEDUP_CLUSTER_T), docs
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == docs.count()
+
+    # restart on the same checkpoint: nothing new → pointer unchanged
+    ptr2 = run_streaming_neardup(spark, docs_dir, out, ckpt, max_files_per_trigger=1)
+    assert ptr2 == ptr
+
+
+def test_streaming_neardup_bucket_freeze(spark, tmp_path):
+    """Prefix-cap semantics: once a bucket would overflow the cap it
+    freezes — docs arriving later into a frozen bucket produce NO new
+    pairs (bounded state and work, the cap's whole point), while
+    already-emitted verdicts stand. Built from boilerplate docs that all
+    share one shingle set so every bucket is the same."""
+    import pyspark.sql.functions as F
+
+    from aperag_spark.streaming.stream import run_streaming_neardup
+
+    text = "alpha beta gamma delta epsilon"
+    rows = [(i, text) for i in range(8)]
+    docs_dir = str(tmp_path / "docs_f")
+    out = str(tmp_path / "neardup_f")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        4
+    ).write.parquet(docs_dir)
+
+    # cap=3: the first batches fill buckets to ≤3 members, later ones freeze
+    ptr = run_streaming_neardup(
+        spark,
+        docs_dir,
+        out,
+        str(tmp_path / "ckpt_f"),
+        max_files_per_trigger=1,
+        bucket_cap=3,
+    )
+    v = spark.read.parquet(ptr["verdicts"]).collect()
+    assert len(v) == 8
+    clustered = [r for r in v if not r["keep"]]
+    singletons = [r for r in v if r["keep"]]
+    # some docs were clustered before the freeze; the post-freeze arrivals
+    # stay singletons (no retroactive pairing — bounded work)
+    assert clustered and len(singletons) >= 2
+    # bucket state growth is bounded: ≤ cap + one batch's members per bucket
+    buckets = spark.read.parquet(f"{out}/buckets")
+    per_bucket = buckets.groupBy("seed", "minhash").count().collect()
+    assert max(r["count"] for r in per_bucket) <= 3 + 2
