@@ -314,3 +314,90 @@ class KGEngine:
         from aperag_spark.operators.graph_query import bfs_subgraph
 
         return bfs_subgraph(self.relations, seed, max_depth=max_depth, max_nodes=max_nodes)
+
+
+class CorpusEngine:
+    """Corpus-build facade — the training-data sibling of KGEngine: drive
+    the staged dedup/quality/selection pipeline (plans/corpus.py over
+    operators/corpus.py) through library verbs:
+
+        eng = CorpusEngine(spark, out_dir)
+        eng.build(docs_df)                  # minhash → candidates → clusters → verdicts
+        eng.selected_docs(docs_df)          # the final training corpus
+        eng.verdicts / eng.clusters / ...   # staged tables (lazy reads)
+        eng.dedup_report()                  # per-stage lineage manifests
+
+    Everything returns DataFrames; repeated build() calls with the same
+    fingerprint resume/no-op (manifest-gated, byte-identical stages —
+    tests/test_corpus_pipeline.py)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+
+    def build(self, docs: DataFrame, input_fingerprint: str = "", upto: str = "verdicts") -> dict:
+        """Run (or resume) the staged corpus pipeline over `docs`
+        (doc_id, text) up to stage `upto`."""
+        from aperag_spark.plans.corpus import run_corpus_pipeline
+
+        return run_corpus_pipeline(
+            self.spark,
+            docs.select("doc_id", "text"),
+            self.out_dir,
+            input_fingerprint=input_fingerprint,
+            upto=upto,
+        )
+
+    def _stage(self, name: str) -> DataFrame:
+        import json
+        import os
+
+        from aperag_spark.sources.io import read_table
+
+        path = os.path.join(self.out_dir, name)
+        # manifest-gated, not isdir-gated: a build() killed mid-write leaves
+        # a partial stage dir WITHOUT a manifest — serving it would silently
+        # truncate the corpus. The manifest is written only after a complete
+        # stage write (plans/pipeline._write_stage).
+        manifest = os.path.join(path, "_MANIFEST.json")
+        try:
+            with open(manifest) as f:
+                json.load(f)
+        except (OSError, json.JSONDecodeError):
+            raise ValueError(
+                f"stage '{name}' not built yet (no complete manifest) — "
+                "call build() first"
+            ) from None
+        return read_table(self.spark, path).drop("_pid")
+
+    @property
+    def minhash(self) -> DataFrame:
+        return self._stage("minhash")
+
+    @property
+    def candidates(self) -> DataFrame:
+        return self._stage("candidates")
+
+    @property
+    def clusters(self) -> DataFrame:
+        return self._stage("clusters")
+
+    @property
+    def verdicts(self) -> DataFrame:
+        return self._stage("verdicts")
+
+    def selected_docs(self, docs: DataFrame) -> DataFrame:
+        """The final corpus: input docs filtered to selected=true verdicts —
+        a doc_id-keyed join (co-located at scale)."""
+        import pyspark.sql.functions as F
+
+        keep = self.verdicts.where(F.col("selected")).select("doc_id")
+        return docs.join(
+            keep, docs["doc_id"].cast("bigint") == keep["doc_id"], "left_semi"
+        )
+
+    def dedup_report(self) -> dict:
+        """Per-stage lineage manifests (rows, partitions, fingerprints)."""
+        from aperag_spark.plans.corpus import corpus_pipeline_metrics
+
+        return corpus_pipeline_metrics(self.out_dir)

@@ -10,7 +10,8 @@ same operators back three consumers:
 Scale shape (the reason each op looks the way it does):
   * minhash_docs: ONE Arrow pass per doc emits both the banding signature
     and the pre-hashed verify tokens — chained JVM HOF re-derivations run
-    interpreted and re-split the text (measured 7.5s → 1.4s, CLAUDE.md).
+    interpreted and re-split the text (measured 7.5s → 1.4s, see the
+    hard-won-rules list in the repo build notes).
   * minhash_candidates: bucket-LOCAL pair generation (collect the ≤cap
     members of each (seed, minhash) bucket, emit O(bucket²) pairs from the
     sorted array) — never an all-pairs join; degenerate buckets beyond
@@ -96,6 +97,62 @@ def minhash_docs(docs: DataFrame) -> DataFrame:
     ).mapInArrow(minhash_doc_batches, MINHASH_DOC_SCHEMA)
 
 
+def bucket_pairs(buckets: DataFrame, members_col: str = "members") -> DataFrame:
+    """Bucket-LOCAL pair generation: emit the O(bucket²) ordered pairs from
+    each row's sorted `members_col` array — one aggregation-side expression
+    instead of a self-join that recomputes the signature subplan. Callers
+    must pre-filter to 2 ≤ size ≤ cap (sequence(1, size-1) descends through
+    index 0 on single-member arrays). Shared by the batch candidates op and
+    the streaming near-dup fold."""
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(members_col) - 1),
+                        lambda i: F.transform(
+                            F.slice(F.col(members_col), i + 1, F.size(members_col)),
+                            lambda m: F.struct(
+                                F.element_at(members_col, i).alias("doc_a"),
+                                m.alias("doc_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    )
+
+
+def verify_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard per candidate pair over the PRE-HASHED verify
+    tokens (sigs: doc_id, hs): constant-width keys through the two pair
+    joins; round(·, 6) is the cross-engine determinism contract the DuckDB
+    oracle mirrors. Shared by the batch candidates op and the streaming
+    near-dup fold."""
+    sh = sigs.select("doc_id", "hs")
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_candidates(
     md: DataFrame,
     bucket_cap: int = MINHASH_BUCKET_CAP,
@@ -124,46 +181,8 @@ def minhash_candidates(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
         .where((F.size("members") > 1) & (F.size("members") <= bucket_cap))
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("members") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("members"), i + 1, F.size("members")),
-                            lambda m: F.struct(
-                                F.element_at("members", i).alias("doc_a"),
-                                m.alias("doc_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
-    sh = md.select("doc_id", "hs")
-    return (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
-            "doc_b",
-        )
-        .select(
-            F.col("doc_a").cast("bigint").alias("doc_a"),
-            F.col("doc_b").cast("bigint").alias("doc_b"),
-            F.round(
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    pairs = bucket_pairs(buckets).distinct()
+    return verify_jaccard(pairs, md)
 
 
 def cluster_verdict(

@@ -368,6 +368,65 @@ def _run_rerank(engine: FlowEngine, node: NodeInstance, inputs: dict) -> dict:
     return {"docs": rerank_docs(inputs["query"], inputs["docs"])}
 
 
+# runners/llm.py:35-41,131-160: char-per-token estimate, output reservation,
+# fallback context budget when no model config is available
+TOKEN_TO_CHAR_RATIO = 1.5
+DEFAULT_OUTPUT_TOKENS = 1000
+FALLBACK_MAX_CONTEXT_LENGTH = 50_000
+
+
+@register_node_runner("llm")
+def _run_llm(engine: FlowEngine, node: NodeInstance, inputs: dict) -> dict:
+    """runners/llm.py:200-247 — the generation node, reproduced up to the
+    LLM boundary (the completion call is the declared external service,
+    same design as KGEngine.query_prompt's only_need_prompt form; a
+    deterministic stub response keeps the node composable and testable):
+
+      * greedy doc packing under the char budget: a doc joins the context
+        only while len(template)+len(query)+len(context)+len(doc) fits
+        max_input_chars (llm.py:214-221), each packed doc recorded as a
+        reference (llm.py:222);
+      * prompt = template.format(query=..., context=...) (llm.py:223),
+        over-budget prompts refused (llm.py:224-228);
+      * max_input_chars = max_input_tokens × 1.5 with the reference's
+        fallback budget when no model config exists (llm.py:146-160).
+
+    The docs frame is an upstream top-k leg/merge/rerank output — bounded,
+    so the collect here is k rows, never a table scan."""
+    import hashlib
+
+    query = inputs.get("query", engine.system_input.get("query", ""))
+    template = inputs.get("prompt_template", "{context}\n{query}")
+    max_input_tokens = int(
+        inputs.get(
+            "max_input_tokens", FALLBACK_MAX_CONTEXT_LENGTH // int(TOKEN_TO_CHAR_RATIO)
+        )
+    )
+    max_input_chars = max_input_tokens * TOKEN_TO_CHAR_RATIO
+    docs_df = inputs.get("docs")
+    context, references = "", []
+    if docs_df is not None:
+        rows = (
+            docs_df.orderBy("rank").collect()
+            if "rank" in docs_df.columns
+            else docs_df.collect()
+        )
+        for r in rows:
+            text = r["text"]
+            if len(template) + len(query) + len(context) + len(text) > max_input_chars:
+                break
+            context += text
+            references.append({"text": text, "score": float(r["score"])})
+    prompt = template.format(query=query, context=context)
+    if len(prompt) > max_input_chars:
+        raise ValidationError(
+            f"Prompt requires {len(prompt)} characters, which exceeds the "
+            f"calculated input limit of {max_input_chars} characters"
+        )
+    response = "STUB_RESPONSE:" + hashlib.md5(prompt.encode()).hexdigest()[:16]
+    return {"text": response, "prompt": prompt, "references": references}
+
+
 def canonical_rag_flow() -> FlowInstance:
     """The reference's canonical RAG flow (aperag/flow/examples/
     rag_flow.yaml): start → three parallel retrieval legs → merge → rerank,
@@ -403,6 +462,15 @@ def canonical_rag_flow() -> FlowInstance:
             "rerank",
             {"query": qref, "docs": "{{ nodes.merge.output.docs }}"},
         ),
+        "llm": NodeInstance(
+            "llm",
+            "llm",
+            {
+                "prompt_template": "{context}\n{query}",
+                "query": qref,
+                "docs": "{{ nodes.rerank.output.docs }}",
+            },
+        ),
     }
     edges = [
         Edge("start", "vector_search"),
@@ -412,5 +480,6 @@ def canonical_rag_flow() -> FlowInstance:
         Edge("fulltext_search", "merge"),
         Edge("graph_search", "merge"),
         Edge("merge", "rerank"),
+        Edge("rerank", "llm"),
     ]
     return FlowInstance("rag_flow", "RAG Knowledge Base Flow", nodes, edges)

@@ -452,7 +452,10 @@ def merge_entities_curated(
     (only collisions among re-pointed edges are merged there); we merge the
     pre-existing target edge into the group too, so no edge data is
     silently lost. Only pairs touching target_entity are re-aggregated —
-    untouched rows pass through without a shuffle."""
+    untouched rows pass through without a shuffle, which relies on the
+    standing invariant that `relations` is unique per canonical
+    (src_id, tgt_id) pair (the merge_relations / finalize_relations output
+    contract; every producer in this codebase upholds it)."""
     strategy = {**ENTITY_MERGE_DEFAULT_STRATEGY, **(merge_strategy or {})}
     target_entity_data = target_entity_data or {}
 

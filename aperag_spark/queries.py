@@ -1001,6 +1001,22 @@ def _corpus_stage(spark, sf_dir, stage: str) -> DataFrame:
     from aperag_spark.plans.corpus import run_corpus_pipeline
 
     key = os.path.abspath(sf_dir)
+    doc_path = os.path.join(key, "documents.parquet")
+    # fingerprint = path + corpus CONTENT identity (total size + newest
+    # mtime): /tmp outlives processes and pids recycle, so a stale stage
+    # dir must invalidate when documents.parquet is regenerated, not be
+    # served because the path still matches.
+    total, newest = 0, 0
+    if os.path.isdir(doc_path):
+        for root, _dirs, files in os.walk(doc_path):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+    elif os.path.exists(doc_path):
+        st = os.stat(doc_path)
+        total, newest = st.st_size, st.st_mtime_ns
+    fingerprint = f"{key}|{total}|{newest}"
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"aperag_corpus_stages_{os.getpid()}",
@@ -1008,7 +1024,7 @@ def _corpus_stage(spark, sf_dir, stage: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     res = run_corpus_pipeline(
-        spark, docs, out_dir, input_fingerprint=key, upto=stage
+        spark, docs, out_dir, input_fingerprint=fingerprint, upto=stage
     )
     return res[stage]
 

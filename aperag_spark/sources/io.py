@@ -35,6 +35,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _default_ident(location: str) -> str:
+    """Catalog identifier for a stage directory. The stage NAME alone is not
+    unique — multiple pipelines (different out_dirs: per-SF stage caches,
+    per-tenant workspaces) run in one session, and `local.db.minhash` for
+    one out_dir must not replace another's. Qualify with a short hash of
+    the full location path."""
+    import hashlib
+
+    loc = os.path.abspath(location.rstrip("/"))
+    tag = hashlib.md5(os.path.dirname(loc).encode()).hexdigest()[:8]
+    return f"local.db.{os.path.basename(loc)}_{tag}"
+
+
 def write_table(df: DataFrame, location: str, table_name: str | None = None) -> None:
     """Write a stage output. `location` is a directory (parquet mode) and
     `table_name` a catalog identifier (iceberg mode)."""
@@ -46,14 +59,14 @@ def write_table(df: DataFrame, location: str, table_name: str | None = None) -> 
                 "on the classpath (spark.jars.packages="
                 "org.apache.iceberg:iceberg-spark-runtime-...)"
             )
-        ident = table_name or "local.db." + os.path.basename(location.rstrip("/"))
-        df.writeTo(ident).using("iceberg").createOrReplace()
+        df.writeTo(table_name or _default_ident(location)).using(
+            "iceberg"
+        ).createOrReplace()
     else:
         df.write.mode("overwrite").parquet(location)
 
 
 def read_table(spark: SparkSession, location: str, table_name: str | None = None) -> DataFrame:
     if table_format() == "iceberg":
-        ident = table_name or "local.db." + os.path.basename(location.rstrip("/"))
-        return spark.read.table(ident)
+        return spark.read.table(table_name or _default_ident(location))
     return spark.read.parquet(location)

@@ -466,6 +466,7 @@ def run_streaming_neardup(
     max_files_per_trigger: int = 1,
     bucket_cap: int | None = None,
     threshold: float | None = None,
+    fail_before_commit: int | None = None,
 ):
     """Streaming NEAR-dup dedup — the ingest-side counterpart of the batch
     dedup_cluster endpoint (operators/corpus.py), completing the streaming
@@ -502,11 +503,13 @@ def run_streaming_neardup(
     import json
     import os
 
-    from aperag_spark.operators.components import connected_components
     from aperag_spark.operators.corpus import (
         DEDUP_CLUSTER_T,
         MINHASH_BUCKET_CAP,
+        bucket_pairs,
+        cluster_verdict,
         minhash_docs,
+        verify_jaccard,
     )
 
     cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
@@ -520,12 +523,23 @@ def run_streaming_neardup(
         with open(pointer) as f:
             return json.load(f)
 
-    def _store(name: str, schema: str) -> DataFrame:
+    def _store(name: str, schema: str, before: int) -> DataFrame:
+        """Committed state = batch dirs with id < `before` ONLY. A crashed
+        attempt of the CURRENT batch may have left batch=<bid> dirs behind
+        (the pointer — the commit point — never swung); reading them back
+        during the replay would double-count the batch's own members and
+        mis-freeze buckets, so the fold always reads strictly-prior batches
+        and unions its own in-flight frames explicitly."""
         path = os.path.join(out_dir, name)
-        if os.path.isdir(path) and any(
-            e.startswith("batch=") for e in os.listdir(path)
-        ):
-            return spark.read.parquet(path).drop("batch")
+        done = [
+            e
+            for e in (os.listdir(path) if os.path.isdir(path) else [])
+            if e.startswith("batch=") and int(e.split("=", 1)[1]) < before
+        ]
+        if done:
+            return (
+                spark.read.parquet(*[os.path.join(path, e) for e in done])
+            )
         return spark.createDataFrame([], schema)
 
     def _append(df: DataFrame, name: str, bid: int) -> None:
@@ -547,7 +561,7 @@ def run_streaming_neardup(
         new_b = md.select(
             "doc_id", F.posexplode("mh").alias("seed", "minhash")
         )
-        old_b = _store("buckets", "seed int, minhash string, doc_id long")
+        old_b = _store("buckets", "seed int, minhash string, doc_id long", bid)
         old_cnt = old_b.groupBy("seed", "minhash").agg(
             F.count(F.lit(1)).alias("old_cnt")
         )
@@ -557,10 +571,9 @@ def run_streaming_neardup(
             .agg(F.array_sort(F.collect_set("doc_id")).alias("new_members"))
             .join(old_cnt, ["seed", "minhash"], "left")
             .withColumn("old_cnt", F.coalesce("old_cnt", F.lit(0)))
+            .localCheckpoint()  # 4 consumers below; unpersisted at fold end
         )
-        ok = nb.where(
-            F.col("old_cnt") + F.size("new_members") <= F.lit(cap)
-        ).localCheckpoint()
+        ok = nb.where(F.col("old_cnt") + F.size("new_members") <= F.lit(cap))
         # new × old pairs (join members already stored for ok buckets)
         n_flat = ok.select(
             "seed", "minhash", F.explode("new_members").alias("new_id")
@@ -573,45 +586,20 @@ def run_streaming_neardup(
                 F.greatest("doc_id", "new_id").alias("doc_b"),
             )
         )
-        # new × new pairs, bucket-local over the sorted member array
-        # (size > 1 guard: sequence(1, 0) would descend through index 0)
-        pn = ok.where(F.size("new_members") > 1).select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("new_members") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("new_members"), i + 1, F.size("new_members")),
-                            lambda m: F.struct(
-                                F.element_at("new_members", i).alias("doc_a"),
-                                m.alias("doc_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        # new × new pairs: the shared bucket-local generator (size > 1
+        # pre-filter per its contract)
+        pn = bucket_pairs(
+            ok.where(F.size("new_members") > 1), members_col="new_members"
+        )
         pairs = po.unionByName(pn).distinct()
-        # verify on the accumulated signature store (constant-width tokens)
-        sigs_all = _store("sigs", "doc_id bigint, hs array<string>, mh array<string>")
-        sh = sigs_all.select("doc_id", "hs")
+        # verify on committed signatures ∪ this batch's own (shared op;
+        # same round-6 contract as the batch candidates path)
+        sigs_all = _store(
+            "sigs", "doc_id bigint, hs array<string>, mh array<string>", bid
+        ).unionByName(md)
         edges = (
-            pairs.join(
-                sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
-                "doc_a",
-            )
-            .join(
-                sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
-                "doc_b",
-            )
-            .where(
-                F.round(
-                    F.size(F.array_intersect("hs_a", "hs_b"))
-                    / F.size(F.array_union("hs_a", "hs_b")),
-                    6,
-                )
-                >= F.lit(thr)
-            )
+            verify_jaccard(pairs, sigs_all)
+            .where(F.col("jaccard") >= F.lit(thr))
             .select("doc_a", "doc_b")
         )
         _append(edges, "edges", bid)
@@ -632,26 +620,44 @@ def run_streaming_neardup(
         )
         _append(grow.unionByName(freeze), "buckets", bid)
 
-        # refresh the verdict: CC over the accumulated (tiny) edge list
-        edges_all = _store("edges", "doc_a bigint, doc_b bigint").localCheckpoint()
-        ids_all = _store("ids", "doc_id long")
-        if edges_all.take(1):
-            cc = connected_components(edges_all, src="doc_a", dst="doc_b")
-            cc = cc.select(F.col("node").alias("doc_id"), "component")
-        else:
-            cc = spark.createDataFrame([], "doc_id long, component long")
-        canon = F.coalesce("component", F.col("doc_id"))
-        verdict = ids_all.join(cc, "doc_id", "left").select(
-            "doc_id",
-            canon.cast("bigint").alias("canonical_id"),
-            (canon == F.col("doc_id")).alias("keep"),
+        # refresh the verdict: the shared CC verdict op over committed
+        # edges ∪ this batch's (tiny, bucket-capped) new edges
+        edges_all = (
+            _store("edges", "doc_a bigint, doc_b bigint", bid)
+            .unionByName(
+                spark.read.parquet(os.path.join(out_dir, "edges", f"batch={bid}"))
+            )
+            .localCheckpoint()  # CC iterates over it; unpersisted below
         )
+        ids_all = _store("ids", "doc_id long", bid).unionByName(
+            spark.read.parquet(os.path.join(out_dir, "ids", f"batch={bid}"))
+        )
+        if edges_all.take(1):
+            verdict = cluster_verdict(edges_all, ids_all, checkpoint=False)
+        else:
+            verdict = ids_all.select(
+                "doc_id",
+                F.col("doc_id").cast("bigint").alias("canonical_id"),
+                F.lit(True).alias("keep"),
+            )
         v_path = os.path.join(out_dir, f"verdicts_v{bid}")
         verdict.write.mode("overwrite").parquet(v_path)
+        if fail_before_commit == bid:
+            # crash-injection for the replay test: every state append for
+            # this batch has landed but the pointer never swings — the
+            # replay must not read the crashed attempt's own state back
+            raise RuntimeError(f"injected failure before commit of batch {bid}")
         tmp = pointer + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": bid, "verdicts": v_path}, f)
         os.replace(tmp, pointer)  # atomic pointer swing = the commit point
+        # a long-lived stream folds thousands of batches: release the
+        # per-batch checkpointed blocks instead of pinning them forever
+        for ckpt in (nb, edges_all):
+            try:
+                ckpt.unpersist()
+            except Exception:
+                pass
 
     from aperag_spark.queries import ensure_package_shipped
 

@@ -112,3 +112,34 @@ def test_metrics_record_lineage(spark, tmp_path):
     for stage in CORPUS_STAGES:
         assert m[stage]["rows"] == sum(m[stage]["partitions"].values())
         assert m[stage]["input_fingerprint"] == "v"
+
+
+def test_corpus_engine_facade(spark, tmp_path):
+    """CorpusEngine: build → staged tables → selected_docs, resume no-op."""
+    import os
+
+    from aperag_spark.api import CorpusEngine
+
+    out = str(tmp_path / "engine")
+    eng = CorpusEngine(spark, out)
+    docs = _docs(spark)
+    eng.build(docs, input_fingerprint="v")
+    v = eng.verdicts
+    assert v.count() == 500
+    sel = eng.selected_docs(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    n_sel = sel.count()
+    import pyspark.sql.functions as F
+
+    assert n_sel == v.where(F.col("selected")).count()
+    assert 0 < n_sel < 500
+    rep = eng.dedup_report()
+    assert set(rep) == {"minhash", "candidates", "clusters", "verdicts"}
+    # resume no-op: manifests untouched
+    t0 = os.path.getmtime(os.path.join(out, "verdicts", "_MANIFEST.json"))
+    eng.build(docs, input_fingerprint="v")
+    assert os.path.getmtime(os.path.join(out, "verdicts", "_MANIFEST.json")) == t0
+    # unbuilt stage access on a fresh dir raises a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="not built yet"):
+        CorpusEngine(spark, str(tmp_path / "empty")).verdicts.count()

@@ -84,6 +84,7 @@ def test_canonical_flow_end_to_end(kg):
         {"vector_search", "fulltext_search", "graph_search"},
         {"merge"},
         {"rerank"},
+        {"llm"},
     ]
 
     # event stream: flow_start first, flow_end last, start-before-end per
@@ -97,7 +98,7 @@ def test_canonical_flow_end_to_end(kg):
         if e["node_id"] is not None
     }
     legs = ["vector_search", "fulltext_search", "graph_search"]
-    for n in ["start", *legs, "merge", "rerank"]:
+    for n in ["start", *legs, "merge", "rerank", "llm"]:
         assert seq[("node_start", n)] < seq[("node_end", n)]
     for leg in legs:
         assert seq[("node_start", leg)] > seq[("node_end", "start")]
@@ -116,6 +117,60 @@ def test_canonical_flow_end_to_end(kg):
     # merged docs really came from more than one retrieval leg
     sources = {r["source"] for r in outputs["merge"]["docs"].select("source").collect()}
     assert len(sources) >= 2
+
+    # llm node: prompt packs reranked docs greedily under the char budget,
+    # references mirror the packed docs, response is the deterministic stub
+    llm_out = outputs["llm"]
+    assert llm_out["text"].startswith("STUB_RESPONSE:")
+    assert llm_out["prompt"].endswith(
+        "\nWhat is Acme0 Corp known for in cloud energy partnership?"
+    )
+    assert llm_out["references"]
+    assert all(ref["text"] in llm_out["prompt"] for ref in llm_out["references"])
+    # packing order follows rerank order
+    packed = [ref["text"] for ref in llm_out["references"]]
+    assert packed == texts[: len(packed)]
+
+
+def test_llm_node_char_budget():
+    """llm.py:214-228 budget semantics: greedy packing stops at the char
+    limit; a template that alone exceeds the budget is refused."""
+    from aperag_spark.operators.flow_engine import _run_llm
+
+    class _FakeDocs:
+        columns = ["text", "score"]
+
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    rows = [
+        {"text": "a" * 40, "score": 0.9},
+        {"text": "b" * 40, "score": 0.8},
+        {"text": "c" * 40, "score": 0.7},
+    ]
+    eng = FlowEngine()
+    # budget fits template+query+two docs but not three
+    out = _run_llm(
+        eng,
+        NodeInstance("llm", "llm"),
+        {
+            "query": "q",
+            "prompt_template": "{context}|{query}",
+            "docs": _FakeDocs(rows),
+            "max_input_tokens": 66,  # 99 chars
+        },
+    )
+    assert [r["text"] for r in out["references"]] == ["a" * 40, "b" * 40]
+    with pytest.raises(ValidationError, match="exceeds the calculated"):
+        _run_llm(
+            eng,
+            NodeInstance("llm", "llm"),
+            {"query": "q" * 100, "prompt_template": "{context}{query}",
+             "docs": None, "max_input_tokens": 10},
+        )
 
 
 def test_cycle_detection_matches_reference():

@@ -427,6 +427,27 @@ def test_probe_media_real_headers(spark):
     assert "data" not in rows["a"].asDict()  # payload dropped before shuffle
 
 
+def _write_doc_batches(docs_dir, slices):
+    """Write each slice as ONE parquet file with strictly increasing mtimes
+    so FileStreamSource (which orders files by modification time) delivers
+    exactly one slice per micro-batch under maxFilesPerTrigger=1 —
+    repartition(N) gives no such guarantee (batch composition then depends
+    on hash layout, which made the freeze test flaky)."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(docs_dir, exist_ok=True)
+    for k, df in enumerate(slices):
+        tmp = docs_dir + f"_tmp{k}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(docs_dir, f"b{k:03d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_neardup_matches_batch_cluster(spark, tmp_path):
     """The streaming near-dup fold (run_streaming_neardup) must reach the
     SAME final verdict as the batch dedup_cluster endpoint when the same
@@ -460,8 +481,11 @@ def test_streaming_neardup_matches_batch_cluster(spark, tmp_path):
     docs_dir = str(tmp_path / "docs")
     out = str(tmp_path / "neardup")
     ckpt = str(tmp_path / "ckpt_nd")
-    # 4 files → 4 micro-batches under maxFilesPerTrigger=1
-    docs.repartition(4).write.parquet(docs_dir)
+    # 4 deterministic micro-batches (any composition is fine here: on a
+    # cap-free corpus the final verdict is arrival-order independent)
+    _write_doc_batches(
+        docs_dir, [docs.where(F.pmod("doc_id", F.lit(4)) == k) for k in range(4)]
+    )
 
     ptr = run_streaming_neardup(spark, docs_dir, out, ckpt, max_files_per_trigger=1)
     assert ptr is not None and ptr["batch_id"] >= 1  # really incremental
@@ -496,14 +520,21 @@ def test_streaming_neardup_bucket_freeze(spark, tmp_path):
     from aperag_spark.streaming.stream import run_streaming_neardup
 
     text = "alpha beta gamma delta epsilon"
-    rows = [(i, text) for i in range(8)]
+
+    def _slice(ids):
+        return spark.createDataFrame(
+            [(i, text) for i in ids], "doc_id long, text string"
+        )
+
     docs_dir = str(tmp_path / "docs_f")
     out = str(tmp_path / "neardup_f")
-    spark.createDataFrame(rows, "doc_id long, text string").repartition(
-        4
-    ).write.parquet(docs_dir)
-
-    # cap=3: the first batches fill buckets to ≤3 members, later ones freeze
+    # deterministic arrival: {0,1} → {2} → {3} → {4..7}. With cap=3 every
+    # bucket (all docs share one shingle set) fills to 3 on batch 2, the
+    # batch-3 arrival overflows it (frozen), and batch 4's docs see a
+    # frozen bucket.
+    _write_doc_batches(
+        docs_dir, [_slice([0, 1]), _slice([2]), _slice([3]), _slice([4, 5, 6, 7])]
+    )
     ptr = run_streaming_neardup(
         spark,
         docs_dir,
@@ -512,14 +543,62 @@ def test_streaming_neardup_bucket_freeze(spark, tmp_path):
         max_files_per_trigger=1,
         bucket_cap=3,
     )
-    v = spark.read.parquet(ptr["verdicts"]).collect()
+    v = {r["doc_id"]: r for r in spark.read.parquet(ptr["verdicts"]).collect()}
     assert len(v) == 8
-    clustered = [r for r in v if not r["keep"]]
-    singletons = [r for r in v if r["keep"]]
-    # some docs were clustered before the freeze; the post-freeze arrivals
-    # stay singletons (no retroactive pairing — bounded work)
-    assert clustered and len(singletons) >= 2
-    # bucket state growth is bounded: ≤ cap + one batch's members per bucket
+    # docs 0,1,2 clustered before the freeze (canonical 0); post-freeze
+    # arrivals stay singletons (no retroactive pairing — bounded work)
+    assert {i for i in v if not v[i]["keep"]} == {1, 2}
+    assert v[1]["canonical_id"] == v[2]["canonical_id"] == 0
+    assert all(v[i]["keep"] and v[i]["canonical_id"] == i for i in (0, 3, 4, 5, 6, 7))
+    # bucket state growth is bounded: cap members + the single over-cap
+    # batch recorded to keep the bucket frozen
     buckets = spark.read.parquet(f"{out}/buckets")
     per_bucket = buckets.groupBy("seed", "minhash").count().collect()
-    assert max(r["count"] for r in per_bucket) <= 3 + 2
+    assert max(r["count"] for r in per_bucket) == 4
+
+
+def test_streaming_neardup_crash_replay(spark, tmp_path):
+    """Crash-replay safety: a batch that crashes AFTER all its state
+    appends but BEFORE the pointer swing is replayed by the checkpoint;
+    the replay must not read the crashed attempt's own state back
+    (double-counted bucket members would mis-freeze buckets and drop
+    edges). Final verdicts must equal an uncrashed run's."""
+    import pyspark.sql.functions as F
+
+    from aperag_spark.streaming.stream import run_streaming_neardup
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    slices = [docs.where(F.pmod("doc_id", F.lit(3)) == k) for k in range(3)]
+
+    crash_dir, clean_dir = str(tmp_path / "dc"), str(tmp_path / "dl")
+    _write_doc_batches(crash_dir, slices)
+    _write_doc_batches(clean_dir, slices)
+
+    import pytest
+
+    with pytest.raises(Exception, match="injected failure before commit"):
+        run_streaming_neardup(
+            spark, crash_dir, str(tmp_path / "oc"), str(tmp_path / "kc"),
+            fail_before_commit=1,
+        )
+    # restart on the same checkpoint: batch 1 replays over its own leftovers
+    ptr = run_streaming_neardup(
+        spark, crash_dir, str(tmp_path / "oc"), str(tmp_path / "kc")
+    )
+    clean = run_streaming_neardup(
+        spark, clean_dir, str(tmp_path / "ol"), str(tmp_path / "kl")
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"], r["keep"])
+        for r in spark.read.parquet(ptr["verdicts"]).collect()
+    }
+    want = {
+        (r["doc_id"], r["canonical_id"], r["keep"])
+        for r in spark.read.parquet(clean["verdicts"]).collect()
+    }
+    assert got == want and len(got) == 120
