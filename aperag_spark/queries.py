@@ -1908,6 +1908,87 @@ FROM q JOIN d ON q.doc_id = d.doc_id
 
 
 
+SAMPLE_TOKEN_BUDGET = 3000  # per-language token budget (partial at all SFs)
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Budgeted corpus sampling + split assignment — the data-MIXING step of
+    a pre-training build: per language stratum, take documents in
+    deterministic pseudo-random order (md5 of doc_id) until the stratum's
+    token budget is filled, and assign each sampled doc a deterministic
+    train/val split (first md5 nibble — ~6% val). Both rules are pure
+    functions of doc_id, so the sample is reproducible and engines agree.
+
+    Scale shape — the naive form is a running-sum window PARTITIONED BY
+    LANG, which funnels an entire language (most of a real corpus) through
+    ONE task; this implements the distributed two-phase prefix sum
+    instead: docs bucket by their first two hash hex chars (256 ranges,
+    prefix-consistent with the hash order), per-(lang, bucket) token sums
+    roll up to exclusive bucket offsets through a TINY window (≤256 rows
+    per lang), and the per-doc running sum windows over (lang, bucket) —
+    256× the parallelism, identical values (the DuckDB oracle computes the
+    naive single-window form)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = _words()
+    d = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+    ).withColumn("bkt", F.substring("hkey", 1, 2))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("lang", "bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn("offset", F.coalesce(F.sum("bt").over(wb), F.lit(0)))
+        .select("lang", "bkt", "offset")
+    )
+    wd = (
+        Window.partitionBy("lang", "bkt")
+        .orderBy("hkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(offsets, ["lang", "bkt"])
+        .withColumn(
+            "cum_tokens", (F.col("offset") + F.sum("n_tokens").over(wd)).cast("bigint")
+        )
+        .where(F.col("cum_tokens") <= SAMPLE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cum_tokens",
+            F.when(F.substring("hkey", 1, 1) == "0", F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+ORACLE_CORPUS_SAMPLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens, hkey,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CASE WHEN substr(hkey, 1, 1) = '0' THEN 'val' ELSE 'train' END AS split
+FROM c WHERE cum_tokens <= {SAMPLE_TOKEN_BUDGET}
+"""
+
+
 def q_corpus_stats(spark, sf_dir, exact: bool = True, accuracy: int = 10_000):
     """Corpus-level rollup: doc count, token totals, interpolated median/p90
     of doc length, distinct-vocabulary size — the dataset-card numbers.
@@ -2356,6 +2437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "corpus_select": q_corpus_select,
+    "corpus_sample": q_corpus_sample,
     "corpus_stats": q_corpus_stats,
     "lang_guess": q_lang_guess,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2402,6 +2484,7 @@ ORACLES: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "corpus_select": ORACLE_CORPUS_SELECT,
+    "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "corpus_stats": ORACLE_CORPUS_STATS,
     "lang_guess": ORACLE_LANG_GUESS,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
