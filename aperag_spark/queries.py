@@ -1365,6 +1365,9 @@ WHERE jaccard >= {NGRAM_JACCARD_T}
 """
 
 
+_SIMHASH_FP_CACHE: dict = {}
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per doc: per-word 32-bit hash
     (md5-derived, portable), occurrence-weighted bit vote, vote sign →
@@ -1376,7 +1379,17 @@ def q_dedup_simhash(spark, sf_dir):
     conditional SUM aggregates over the same groupBy(doc_id) — map-side
     partial aggregation collapses each input partition to one 32-column row
     per doc before the exchange (vs round 1's per-(doc,word,bit) explode:
-    32× shuffle inflation + a second shuffle)."""
+    32× shuffle inflation + a second shuffle).
+
+    The fingerprint frame is lazily checkpointed per (session, corpus):
+    the banding/verify query derives from the identical frame, so the two
+    consumers share one execution (same pattern as the BM25 index cache)."""
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _SIMHASH_FP_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = _t(spark, sf_dir, "documents")
     occ = (
         docs.select("doc_id", F.explode(_words()).alias("w"))
@@ -1397,10 +1410,12 @@ def q_dedup_simhash(spark, sf_dir):
             for b in range(32)
         )
     )
-    return votes.select(
+    out = votes.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         fingerprint.cast("bigint").alias("simhash"),
-    )
+    ).localCheckpoint(eager=False)
+    _SIMHASH_FP_CACHE[key] = out
+    return out
 
 
 ORACLE_DEDUP_SIMHASH = """
