@@ -273,17 +273,33 @@ _SQL_BIGRAM_EDGES = f"""
 """
 
 
+_KG_RELATIONS_CACHE: dict = {}
+
+
 def q_kg_relations(spark, sf_dir):
     """M9 edge merge: weight = SUM of occurrences (operate.py:406),
-    provenance = distinct doc count."""
-    return (
+    provenance = distinct doc count. FIVE downstream queries (degree,
+    top-entities, one-hop, BFS, connected components) derive from this
+    frame — lazily checkpointed per (session, corpus) so each battery
+    consumer reuses one execution (same pattern as the BM25/simhash
+    caches)."""
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _KG_RELATIONS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = (
         _bigram_edges(spark, sf_dir)
         .groupBy("src", "tgt")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("weight"),
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
+        .localCheckpoint(eager=False)
     )
+    _KG_RELATIONS_CACHE[key] = out
+    return out
 
 
 ORACLE_KG_RELATIONS = f"""
