@@ -92,12 +92,24 @@ def _words(col="text"):
 # ---------------------------------------------------------------------------
 
 
+_KG_CHUNKS_CACHE: dict = {}
+
+
 def q_kg_chunking(spark, sf_dir):
     """C1 chunker (operate.py:71-115 semantics) over documents.text with the
-    production window/stride logic at corpus-appropriate size."""
+    production window/stride logic at corpus-appropriate size. The chunk
+    frame feeds kg_chunk_ids and kg_token_budget too — lazily checkpointed
+    per (session, corpus) so the mapInPandas chunker runs once."""
+    import os
+
     import pandas as pd
 
     from aperag_spark.textproc import Tokenizer, chunking_by_token_size
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _KG_CHUNKS_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -123,9 +135,11 @@ def q_kg_chunking(spark, sf_dir):
                 rows, columns=["doc_id", "chunk_order_index", "tokens", "content"]
             )
 
-    return docs.mapInPandas(
+    out = docs.mapInPandas(
         _chunk, "doc_id bigint, chunk_order_index int, tokens int, content string"
-    )
+    ).localCheckpoint(eager=False)
+    _KG_CHUNKS_CACHE[key] = out
+    return out
 
 
 _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
