@@ -100,18 +100,46 @@ def neardup_pairs_lsh(
     buckets = lsh_bucketize(emb, dim, n_tables, n_bits, seed, id_col, vec_col)
     with_vec = buckets.join(emb.select(id_col, vec_col), id_col)
 
+    # float32 prescreen margin: a 64-term float32 dot of unit vectors has
+    # worst-case error ~64·2^-23 ≈ 8e-6, so no pair whose exact float64
+    # cosine rounds to >= threshold can fall below threshold - 1e-3. The
+    # exact float64 dot + round-6 (the oracle contract) runs only on the
+    # survivors — the former full-matrix float64 GEMM + np.round over
+    # bucket² entries was the dominant kernel cost.
+    lo32 = threshold - 1e-3
+    strip = 2048  # bounds the live s32 slab to strip×bucket float32
+
     def _bucket_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        if len(pdf) < 2 or len(pdf) > bucket_cap:
+        n = len(pdf)
+        if n < 2 or n > bucket_cap:
             return empty
         ids = np.asarray(pdf[id_col], dtype=np.int64)
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round(mat @ mat.T, 6)
-        ai, bj = np.where(sims >= threshold)
-        keep = ids[ai] < ids[bj]  # canonical a<b, drops self/mirror pairs
+        order = np.argsort(ids)  # index order == id order ⇒ triangle == a<b
+        ids, mat = ids[order], mat[order]
+        m32 = mat.astype(np.float32)
+        oa, ob, oc = [], [], []
+        for i0 in range(0, n, strip):
+            i1 = min(i0 + strip, n)
+            s32 = m32[i0:i1] @ m32[i0:].T  # rows i0..i1 vs cols i0.. (j >= i0)
+            ai, bj = np.nonzero(s32 >= lo32)
+            keep = bj > ai  # strict upper triangle in global indices
+            ai, bj = ai[keep] + i0, bj[keep] + i0
+            sims = np.round(np.einsum("ij,ij->i", mat[ai], mat[bj]), 6)
+            keep = sims >= threshold
+            oa.append(ids[ai[keep]])
+            ob.append(ids[bj[keep]])
+            oc.append(sims[keep])
+        if not oa:
+            return empty
         return pd.DataFrame(
-            {"vec_a": ids[ai][keep], "vec_b": ids[bj][keep], "cosine": sims[ai, bj][keep]}
+            {
+                "vec_a": np.concatenate(oa),
+                "vec_b": np.concatenate(ob),
+                "cosine": np.concatenate(oc),
+            }
         )
 
     pairs = with_vec.groupBy("table", "bucket").applyInPandas(

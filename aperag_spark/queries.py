@@ -78,9 +78,58 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(id(spark))
 
 
+# Tables whose consumers do heavy NARROW per-row work fused onto the scan
+# (explodes, Arrow kernels, HOF projections, GEMM packing) → key column used
+# for the deterministic spread repartition.
+_SPREAD_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _parse_bytes(v: str) -> int:
+    v = str(v).strip().lower()
+    for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf + "b") or v.endswith(suf):
+            return int(float(v.rstrip("b").rstrip(suf))) * mul
+    return int(v)
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path: str, key: str) -> DataFrame:
+    """Scale-adaptive scan spread (opt guide §2.5/§6): the bench corpora are
+    single-row-group parquet files, so the scan — and every narrow stage
+    fused onto it (word explodes, mapInArrow kernels, per-row HOFs) — runs
+    in ONE task no matter how many cores the master has. When the file is
+    too small to yield >= defaultParallelism splits, hash-repartition on the
+    table's unique id (deterministic, and no round-robin pre-sort) so the
+    narrow compute uses every core; the exchange moves only a few MB. At
+    production scale (bytes >> maxPartitionBytes · cores) the condition
+    never fires and the scan keeps its natural splits."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    par = spark.sparkContext.defaultParallelism
+    if (size + mpb - 1) // mpb >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_package_shipped(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    key = _SPREAD_TABLES.get(name)
+    if key is not None:
+        df = _spread_scan(spark, df, path, key)
+    return df
 
 
 def _words(col="text"):
@@ -1340,6 +1389,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .where(gate)
         .select("doc_a", "doc_b")
     )
+    # |A∪B| = |A|+|B|−|A∩B| (hs is set-derived → distinct): drops the
+    # per-pair array_union set-build over the full O(doc-length) gram
+    # arrays; value-identical to the oracle's len(list_distinct(concat)).
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         survivors.join(
             hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
@@ -1353,8 +1406,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                / F.size(F.array_union("hs_a", "hs_b")),
+                inter / (F.size("hs_a") + F.size("hs_b") - inter),
                 6,
             ).alias("jaccard"),
         )
@@ -1492,7 +1544,20 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     the 4 bands, so banding is PROVABLY recall-complete (unlike MinHash-LSH
     banding, which is probabilistic). Work is Σ bucket² over 4×256 buckets —
     the standard web-dedup shape (Manku et al., WWW'07 uses the same
-    permuted-block idea at 64 bits)."""
+    permuted-block idea at 64 bits).
+
+    Pair generation is a self-equi-join on (band, bv) with the Hamming
+    predicate INSIDE the join condition: the Σ bucket² candidate loop runs
+    in whole-stage codegen and only the ~4% of combinations at distance
+    ≤ {HAMMING_MAX} ever materialize as rows (the former collect_set +
+    nested transform/slice HOF expression ran interpreted and copied O(m²)
+    structs per bucket inside one task — 130-171s at 50k docs vs ~seconds
+    for this shape). Bucket eligibility (2 ≤ n ≤ cap) is a ≤4·256-row
+    aggregate broadcast onto the join legs. (doc_a, doc_b) functionally
+    determines (ha, hb) — each doc has exactly one fingerprint — so the
+    final distinct over (doc_a, doc_b, hamming) keeps exactly the pairs
+    the oracle's DISTINCT-then-filter form keeps, while deduping AFTER the
+    Hamming filter so the distinct sees ~4% of the candidate volume."""
     fp = q_dedup_simhash(spark, sf_dir)
     bands = fp.select(
         "doc_id",
@@ -1504,43 +1569,41 @@ def q_dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
-    buckets = (
+    ok = (
         bands.groupBy("band", "bv")
-        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("members"))
-        .where((F.size("members") > 1) & (F.size("members") <= SIMHASH_BAND_CAP))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= SIMHASH_BAND_CAP))
+        .select("band", "bv")
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("members") - 1),
-                        lambda i: F.transform(
-                            F.slice(F.col("members"), i + 1, F.size("members")),
-                            lambda m: F.struct(
-                                F.element_at("members", i)["doc_id"].alias("doc_a"),
-                                m["doc_id"].alias("doc_b"),
-                                F.element_at("members", i)["simhash"].alias("ha"),
-                                m["simhash"].alias("hb"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
-        .distinct()
+    eligible = bands.join(F.broadcast(ok), ["band", "bv"])
+    # rename per side: a self-join on same-named columns from one parent
+    # resolves both sides to the same attribute (trivially-true predicate)
+    a = eligible.select(
+        F.col("band").alias("band_a"),
+        F.col("bv").alias("bv_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+    )
+    b = eligible.select(
+        F.col("band").alias("band_b"),
+        F.col("bv").alias("bv_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bv_a") == F.col("bv_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= HAMMING_MAX),
     )
     return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.expr("ha ^ hb")).cast("int")
-        )
-        .where(F.col("hamming") <= HAMMING_MAX)
-        .select(
+        pairs.select(
             F.col("doc_a").cast("bigint").alias("doc_a"),
             F.col("doc_b").cast("bigint").alias("doc_b"),
-            "hamming",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
         )
+        .distinct()
     )
 
 
@@ -1733,7 +1796,19 @@ def q_sim_neardup(spark, sf_dir, threshold: float = 0.4, n_blocks: int = 8):
     def _unpack(rows) -> tuple[np.ndarray, np.ndarray]:
         ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64, count=len(rows))
         mat = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-        return ids, mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # index order == id order, so the same-block triangle filter is an
+        # index comparison
+        order = np.argsort(ids)
+        return ids[order], mat[order]
+
+    # float32 prescreen margin: a 64-term float32 dot of unit vectors has
+    # worst-case error 64·2^-23 ≈ 8e-6; 1e-3 is >100× that, so no pair with
+    # round(exact, 6) >= threshold can fall below the screen. The exact
+    # float64 dot + round-6 (the oracle contract) runs only on the ~1% of
+    # combinations that pass — the former np.round over the FULL n_a×n_b
+    # float64 matrix was the dominant kernel cost (guide §1.2: per-task work).
+    lo32 = threshold - 1e-3
 
     def _gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1742,18 +1817,19 @@ def q_sim_neardup(spark, sf_dir, threshold: float = 0.4, n_blocks: int = 8):
             ):
                 ids_a, mat_a = _unpack(rows_a)
                 ids_b, mat_b = _unpack(rows_b)
-                sims = np.round(mat_a @ mat_b.T, 6)
-                ai, bj = np.where(sims >= threshold)
-                ia, ib = ids_a[ai], ids_b[bj]
+                s32 = mat_a.astype(np.float32) @ mat_b.astype(np.float32).T
+                ai, bj = np.nonzero(s32 >= lo32)
                 if blk_a == blk_b:
                     # same matrix on both sides: keep one triangle (also
-                    # drops self-pairs)
-                    keep = ia < ib
-                    ia, ib, sims_k = ia[keep], ib[keep], sims[ai, bj][keep]
-                else:
-                    # disjoint blocks: every hit is a distinct pair seen
-                    # exactly once — canonicalize ids, don't filter
-                    sims_k = sims[ai, bj]
+                    # drops self-pairs); ids are index-sorted so bj > ai
+                    # == id inequality
+                    keep = ai < bj
+                    ai, bj = ai[keep], bj[keep]
+                # disjoint blocks: every hit is a distinct pair seen exactly
+                # once — canonicalize ids below, don't filter
+                sims = np.round(np.einsum("ij,ij->i", mat_a[ai], mat_b[bj]), 6)
+                keep = sims >= threshold
+                ia, ib, sims_k = ids_a[ai[keep]], ids_b[bj[keep]], sims[keep]
                 yield pd.DataFrame(
                     {
                         "vec_a": np.minimum(ia, ib),
