@@ -29,9 +29,13 @@ def connected_components(
     undirected = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    sym = undirected.union(
-        undirected.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # lazy checkpoint: the first iteration's convergence count materializes
+    # sym once; without it the union+distinct re-shuffles every round
+    sym = (
+        undirected.union(undirected.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # labels: node → current min label over closed neighborhood
     labels = (
         sym.groupBy("a")
@@ -40,10 +44,14 @@ def connected_components(
             F.col("a").alias("node"),
             F.least("a", "nbr_min").alias("component"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
-        # hash-min: every node takes min(label(self), min over neighbors')
+        # hash-min: every node takes min(label(self), min over neighbors');
+        # the PREVIOUS label rides along as `old` so convergence is read off
+        # the new frame directly — one materializing job per round instead
+        # of an eager checkpoint plus a count-join (each a driver-blocking
+        # job; at small frontiers the per-round job overhead dominated)
         nbr_labels = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
@@ -51,6 +59,7 @@ def connected_components(
         )
         stepped = labels.join(nbr_labels, labels.node == nbr_labels.a, "left").select(
             "node",
+            F.col("component").alias("old"),
             F.least(
                 F.col("component"), F.coalesce("nbr_component", F.col("component"))
             ).alias("component"),
@@ -65,18 +74,14 @@ def connected_components(
             stepped.join(parents, "component", "left")
             .select(
                 "node",
+                "old",
                 F.least(
                     F.col("component"), F.coalesce("grand", F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        ).localCheckpoint(eager=False)
+        changed = new_labels.where(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

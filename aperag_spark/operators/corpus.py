@@ -184,9 +184,14 @@ def minhash_candidates(
     sig = md.select("doc_id", F.posexplode("mh").alias("seed", "minhash"))
     # bucket-local pair generation: group each (seed, minhash) bucket's
     # members and emit the O(bucket²) pairs from the sorted member array —
-    # one aggregation instead of a self-join that computes the signature
+    # one aggregation instead of a self-join that recomputes the signature
     # subplan twice. Bucket sizes ≤ bucket_cap bound the blow-up
     # (max cap·(cap-1)/2 = 2016 pairs per bucket row) at any scale.
+    # (A codegen self-join shape — the fix that took dedup_simhash_pairs
+    # from 171s to seconds, where buckets reach 8k members — was A/B'd here
+    # and is performance-neutral at this cap: 64-element arrays are cheap
+    # even interpreted. Measured 3×-interleaved at sf1.0: 1.2-3.8s vs
+    # 1.2-3.0s. Kept the single-scan aggregation form.)
     buckets = (
         sig.groupBy("seed", "minhash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))

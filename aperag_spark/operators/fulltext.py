@@ -132,7 +132,12 @@ def build_fulltext_index(
         ).otherwise(analyze_col(text))
     terms = docs.select(F.col(id_col).alias("id"), F.explode(analyzed).alias("term"))
     postings = terms.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
-    doclens = terms.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ tf over the doc's postings (every occurrence is counted in
+    # exactly one (term, id) row), so doclens derives from postings instead
+    # of re-running the analyze+explode pass a second time — with the
+    # session cache's lazy checkpoint on postings, the index build pays ONE
+    # pass over the corpus text.
+    doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     if materialize:
         # bm25_search's plan references postings twice (df + scoring) and
         # doclens twice (stats + norm); left lazy, the analyze+explode+

@@ -93,8 +93,9 @@ def bfs_subgraph(
     sym = (
         relations.select(F.col("src_id").alias("a"), F.col("tgt_id").alias("b"))
         .union(relations.select(F.col("tgt_id").alias("a"), F.col("src_id").alias("b")))
-        .localCheckpoint()  # joined once per depth — don't recompute the
-        # upstream aggregation every round
+        .localCheckpoint(eager=False)  # joined once per depth — don't
+        # recompute the upstream aggregation every round; lazy so the first
+        # round's job materializes it instead of paying a separate job
     )
 
     frontier = spark.createDataFrame([(seed, 0)], "entity_id string, depth int")
@@ -109,9 +110,18 @@ def bfs_subgraph(
             .join(visited.select("entity_id"), "entity_id", "left_anti")
             .withColumn("depth", F.lit(d))
         )
-        nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt)
-        frontier = nxt
+        # lazy checkpoint: the early-exit probe (or, on the last round, the
+        # caller's action) materializes it — the former eager checkpoint +
+        # isEmpty pair cost two driver-blocking jobs per round, the
+        # dominant cost of this bounded iteration on small frontiers
+        nxt = nxt.localCheckpoint(eager=False)
+        if d < max_depth:
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            frontier = nxt
+        else:
+            # final round: no further expansion, so no emptiness probe is
+            # needed — an empty union leg is a no-op
+            visited = visited.union(nxt)
     return visited.orderBy("depth", "entity_id").limit(max_nodes)

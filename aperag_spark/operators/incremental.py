@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, Window
 from aperag_spark import FORCE_LLM_SUMMARY_ON_MERGE, GRAPH_FIELD_SEP
 from aperag_spark.operators.merge import (
     _summarized_by_string,
-    merge_entities,
     merge_relations,
 )
 
@@ -46,14 +45,26 @@ def merge_entities_incremental(
     summary_threshold: int = FORCE_LLM_SUMMARY_ON_MERGE,
 ) -> DataFrame:
     """New-batch mention rows + previous `entities` snapshot → merged
-    entities with reference fold-in semantics."""
-    new = merge_entities(raw_entities, summary_threshold=10**9)  # defer summary
+    entities with reference fold-in semantics.
 
-    # re-vote including the existing type as one count, losing ties to new
-    # (Counter appends existing AFTER new — operate.py:296-301)
-    votes_new = (
+    ONE pass over the raw mention rows: a (entity_name, entity_type)-keyed
+    level-1 aggregation carries the per-type fragment/provenance sets, the
+    vote count and the first-occurrence key; the per-entity merge re-folds
+    the level-1 sets (set union is associative, min-of-min == min,
+    sum-of-count == count) and the type vote reads level-1 directly. The
+    former shape called merge_entities() (whose type vote is DEAD here —
+    the voted type is recomputed with the existing snapshot folded in, and
+    merge_entities' winner join is 1:1 so dropping it is value-identical)
+    and re-aggregated the raw rows a third time for the vote: three
+    scan+explode passes over the batch where one suffices. Level-1 is
+    lazily checkpointed — it is tiny (distinct (name, type) pairs) and
+    feeds both the merge and the vote."""
+    lvl1 = (
         raw_entities.groupBy("entity_name", "entity_type")
         .agg(
+            F.array_sort(F.collect_set("description")).alias("d"),
+            F.array_sort(F.collect_set("source_id")).alias("s"),
+            F.array_sort(F.collect_set("file_path")).alias("f"),
             F.count(F.lit(1)).alias("cnt"),
             F.min(
                 F.struct(
@@ -63,7 +74,24 @@ def merge_entities_incremental(
                 )
             ).alias("first_occ"),
         )
+        .localCheckpoint(eager=False)
     )
+    new = lvl1.groupBy("entity_name").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("d")))).alias(
+            "description_frags"
+        ),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))).alias(
+            "source_ids"
+        ),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("f")))).alias(
+            "file_paths"
+        ),
+        F.sum("cnt").alias("mention_count"),
+    )
+
+    # re-vote including the existing type as one count, losing ties to new
+    # (Counter appends existing AFTER new — operate.py:296-301)
+    votes_new = lvl1.select("entity_name", "entity_type", "cnt", "first_occ")
     votes_old = existing.select(
         F.col("entity_id").alias("entity_name"),
         "entity_type",
@@ -91,12 +119,7 @@ def merge_entities_incremental(
         F.col("file_paths").alias("old_file_paths"),
         F.col("mention_count").alias("old_mentions"),
     )
-    joined = (
-        new.withColumnRenamed("entity_id", "entity_name")
-        .drop("entity_type", "description")
-        .join(old, "entity_name", "full_outer")
-        .join(winner, "entity_name")
-    )
+    joined = new.join(old, "entity_name", "full_outer").join(winner, "entity_name")
     merged = joined.select(
         F.col("entity_name").alias("entity_id"),
         F.col("voted_type").alias("entity_type"),

@@ -833,7 +833,11 @@ def q_kg_curated_merge(spark, sf_dir):
     # the target through rewiring — so both merges run on the named slice
     # only (value-identical to merging the full corpus first; the DuckDB
     # oracle computes the full-corpus form)
-    ents = merge_entities(em.where(F.col("entity_name").isin(named)))
+    # merge_entities aggregates its input twice (fragment merge + type
+    # vote); checkpoint the tiny named slice so the 5M-row mention explode
+    # runs once for it, not twice
+    em_named = em.where(F.col("entity_name").isin(named)).localCheckpoint(eager=False)
+    ents = merge_entities(em_named)
     rm = _word_relation_mentions(spark, sf_dir, 0, 10**9)
     rels = merge_relations(
         rm.where(F.col("src_id").isin(named) | F.col("tgt_id").isin(named))
@@ -2256,10 +2260,19 @@ def _fulltext_index_cached(spark, sf_dir) -> dict:
     idx = _BM25_INDEX_CACHE.get(key)
     if idx is None:
         docs = _t(spark, sf_dir, "documents")
-        idx = {
-            k: v.localCheckpoint(eager=False)
-            for k, v in build_fulltext_index(docs, "doc_id", "text").items()
-        }
+        built = build_fulltext_index(docs, "doc_id", "text")
+        # checkpoint postings FIRST and re-derive doclens from the
+        # checkpointed frame (dl = Σ tf per id, the operator's own
+        # derivation): checkpointing the dict values independently would
+        # leave doclens' lineage pointing at the raw explode, re-running
+        # the analyze pass on materialization.
+        postings = built["postings"].localCheckpoint(eager=False)
+        doclens = (
+            postings.groupBy("id")
+            .agg(F.sum("tf").alias("dl"))
+            .localCheckpoint(eager=False)
+        )
+        idx = {"postings": postings, "doclens": doclens}
         _BM25_INDEX_CACHE[key] = idx
     return idx
 

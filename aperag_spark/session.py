@@ -41,7 +41,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode holds driver + executor + broadcast relations
+        # + every session-scoped localCheckpoint block in ONE heap; 8g left
+        # the storage pool evicting shared-frame checkpoints mid-battery
+        # (disk re-reads + GC pressure on late queries). Parameterized: a
+        # real cluster sizes executor memory separately and would not use
+        # this local default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
