@@ -141,16 +141,29 @@ def verify_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     set-derived in the kernel), so the identity is exact and the per-pair
     array_union set-build + array materialization (half the verify stage's
     per-task cost over millions of pairs) is replaced by integer math on
-    sizes the intersect already requires."""
+    sizes the intersect already requires.
+
+    Join strategy is PINNED to shuffled-hash building the signature side:
+    left to AQE, the multi-million-row PAIRS side (~60 MB of ids) slips
+    under the broadcast threshold and becomes a driver-built hash relation
+    — fast on a quiet heap but observed 4× slower under storage pressure
+    (bimodal 8s/31s per-query times), and impossible at scale where the
+    pair list dwarfs memory. Shuffled-hash builds only each task's slice of
+    the bounded signature table (guide §3.1) — stable here and the only
+    shape that survives 100 TB."""
     sh = sigs.select("doc_id", "hs")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")).hint(
+                "shuffle_hash"
+            ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")).hint(
+                "shuffle_hash"
+            ),
             "doc_b",
         )
         .select(

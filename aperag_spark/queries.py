@@ -839,9 +839,17 @@ def q_kg_curated_merge(spark, sf_dir):
     em_named = em.where(F.col("entity_name").isin(named)).localCheckpoint(eager=False)
     ents = merge_entities(em_named)
     rm = _word_relation_mentions(spark, sf_dir, 0, 10**9)
-    rels = merge_relations(
-        rm.where(F.col("src_id").isin(named) | F.col("tgt_id").isin(named))
-    ).drop("pre_summary_description", "first_occ")
+    # merge_entities_curated's rewire plan references `relations` through
+    # several legs (untouched pass-through + colliding re-aggregation +
+    # union); checkpoint the tiny named slice so the 5M-row bigram explode
+    # behind it runs once, not once per leg
+    rels = (
+        merge_relations(
+            rm.where(F.col("src_id").isin(named) | F.col("tgt_id").isin(named))
+        )
+        .drop("pre_summary_description", "first_occ")
+        .localCheckpoint(eager=False)
+    )
     ents2, rels2 = merge_entities_curated(
         ents,
         rels,
