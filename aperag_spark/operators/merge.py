@@ -68,30 +68,50 @@ def merge_entities(
 ) -> DataFrame:
     """raw mention rows → one row per entity_name.
 
-    Two aggregations over the same shuffle key (entity_name): the fragment
-    merge and the type vote; Catalyst reuses the exchange. Skewed head
-    entities are split by AQE (partial aggregation happens map-side for the
-    collect_set/count, so the hot key's reducer sees combined fragments).
+    ONE aggregation pass over the raw rows: the (entity_name, entity_type)
+    level-1 aggregate carries the per-type fragment/provenance sets, the
+    vote count and the first-occurrence key; the per-entity merge re-folds
+    the level-1 sets (set union is associative, sum-of-count == count) and
+    the M3 type vote is a window over level-1 directly. The former two
+    independent aggregations (fragment merge by name + vote by name,type)
+    could not share an exchange — different keys — so the raw mention
+    explode upstream executed twice. Level-1 is tiny (distinct (name, type)
+    pairs) and lazily checkpointed for its two consumers. Skewed head
+    entities are split by AQE (partial aggregation happens map-side, so the
+    hot key's reducer sees combined per-type sets).
     """
-    # M3: vote. Counter + stable sort desc == (count desc, first-seen asc)
-    type_votes = (
+    lvl1 = (
         raw_entities.groupBy("entity_name", "entity_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min(_occ()).alias("first_occ"))
+        .agg(
+            F.array_sort(F.collect_set("description")).alias("d"),
+            F.array_sort(F.collect_set("source_id")).alias("s"),
+            F.array_sort(F.collect_set("file_path")).alias("f"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(_occ()).alias("first_occ"),
+        )
+        .localCheckpoint(eager=False)
     )
+    # M3: vote. Counter + stable sort desc == (count desc, first-seen asc)
     w = Window.partitionBy("entity_name").orderBy(
         F.desc("cnt"), F.asc("first_occ")
     )
     winner = (
-        type_votes.withColumn("rn", F.row_number().over(w))
+        lvl1.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("entity_name", "entity_type")
     )
 
-    merged = raw_entities.groupBy("entity_name").agg(
-        F.array_sort(F.collect_set("description")).alias("description_frags"),
-        F.array_sort(F.collect_set("source_id")).alias("source_ids"),
-        F.array_sort(F.collect_set("file_path")).alias("file_paths"),
-        F.count(F.lit(1)).alias("mention_count"),
+    merged = lvl1.groupBy("entity_name").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("d")))).alias(
+            "description_frags"
+        ),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))).alias(
+            "source_ids"
+        ),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("f")))).alias(
+            "file_paths"
+        ),
+        F.sum("cnt").alias("mention_count"),
     )
 
     return (

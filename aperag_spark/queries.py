@@ -1389,13 +1389,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         F.lit(NGRAM_SKETCH_K), F.greatest(F.size("sk_a"), F.size("sk_b"))
     )
     gate = F.when(inter_sz >= need, est >= NGRAM_PREF_T).otherwise(F.lit(False))
+    # join strategy PINNED to shuffled-hash building the per-doc side: the
+    # planner's size estimates after the bucket aggregation are wrong
+    # enough that at 500k docs it chose to BROADCAST a >1 GB side and died
+    # on spark.driver.maxResultSize (found by scripts/corpus_scale_probe.py;
+    # same rationale as operators/corpus.verify_jaccard). Shuffled-hash
+    # builds only each task's slice of the bounded sketch/gram tables.
     survivors = (
         pairs.join(
-            sk.select(F.col("doc_id").alias("doc_a"), F.col("sk").alias("sk_a")),
+            sk.select(F.col("doc_id").alias("doc_a"), F.col("sk").alias("sk_a")).hint(
+                "shuffle_hash"
+            ),
             "doc_a",
         )
         .join(
-            sk.select(F.col("doc_id").alias("doc_b"), F.col("sk").alias("sk_b")),
+            sk.select(F.col("doc_id").alias("doc_b"), F.col("sk").alias("sk_b")).hint(
+                "shuffle_hash"
+            ),
             "doc_b",
         )
         .where(gate)
@@ -1407,11 +1417,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         survivors.join(
-            hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")).hint(
+                "shuffle_hash"
+            ),
             "doc_a",
         )
         .join(
-            hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")).hint(
+                "shuffle_hash"
+            ),
             "doc_b",
         )
         .select(
