@@ -1119,8 +1119,13 @@ def _corpus_stage(spark, sf_dir, stage: str) -> DataFrame:
         st = os.stat(doc_path)
         total, newest = st.st_size, st.st_mtime_ns
     fingerprint = f"{key}|{total}|{newest}"
+    # stage tables on tmpfs when available — same convention as bench.py's
+    # KG stage outputs (the stage store at cluster scale is a distributed
+    # filesystem; this sandbox's disk-backed /tmp has bursty write latency
+    # that lands entirely on the biggest stage write)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     out_dir = os.path.join(
-        tempfile.gettempdir(),
+        base,
         f"aperag_corpus_stages_{os.getpid()}",
         re.sub(r"[^A-Za-z0-9._-]+", "_", key).strip("_"),
     )

@@ -31,6 +31,14 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
+    # shuffle/spill scratch on tmpfs when available — same convention as
+    # bench.py's stage outputs ("local-disk write throughput is not the
+    # thing under test"); this sandbox's /tmp is virtio-disk-backed with
+    # bursty write latency that shows up as bimodal stage times. A real
+    # cluster points this at fast local SSDs; env-overridable.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,6 +58,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
