@@ -35,7 +35,14 @@ MINHASH_BUCKET_CAP = 64  # standard LSH practice: a bucket this crowded is
 # single task. Dropped buckets are observable via q_dedup_minhash_bucket_stats.
 DEDUP_CLUSTER_T = 0.6  # exact-Jaccard threshold declaring two docs duplicates
 
-MINHASH_DOC_SCHEMA = "doc_id bigint, hs array<string>, mh array<string>"
+# hl = the SAME verify tokens as hs, reinterpreted as signed int64 (the
+# first 8 md5 digest bytes; byte→2-hex-char is bijective, so |hl ∩ hl'| ==
+# |hs ∩ hs'| exactly). The Jaccard verify intersects hl: Spark's
+# ArrayIntersect has a primitive-Long fast path (SQLOpenHashSet) where the
+# string path pointer-chases a UTF8String per element — the verify stage is
+# memory-bandwidth-bound at millions of pairs, so element width is the cost.
+# hs stays for the oracle-mirrored consumers and human-readable state.
+MINHASH_DOC_SCHEMA = "doc_id bigint, hs array<string>, hl array<long>, mh array<string>"
 
 # Gopher-style quality gate thresholds (Rae et al. 2021 §A1.1, public)
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
@@ -65,7 +72,8 @@ def minhash_doc_batches(it):
     for batch in it:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        od, ohs, omh = [], [], []
+        od, ohs, ohl, omh = [], [], [], []
+        int_fb = int.from_bytes
         for d, t in zip(ids, texts):
             w = _re.split(r"\s+", t or "")
             while w and w[-1] == "":
@@ -75,7 +83,11 @@ def minhash_doc_batches(it):
             sh = {f"{w[i]} {w[i + 1]} {w[i + 2]}" for i in range(len(w) - 2)}
             enc = [s.encode() for s in sh]
             od.append(d)
-            ohs.append([md5(e).hexdigest()[:16] for e in enc])
+            # hs (hex prefix) and hl (same 8 bytes as signed int64) from ONE
+            # digest per shingle
+            digs = [md5(e).digest()[:8] for e in enc]
+            ohs.append([g.hex() for g in digs])
+            ohl.append([int_fb(g, "big", signed=True) for g in digs])
             # min over hexdigests == hex of min over raw digests (byte→2
             # lowercase hex chars is order-preserving), so only the per-seed
             # winner pays the hex conversion — the digest() min saves ~40%
@@ -87,9 +99,10 @@ def minhash_doc_batches(it):
             [
                 pa.array(od, pa.int64()),
                 pa.array(ohs, pa.list_(pa.string())),
+                pa.array(ohl, pa.list_(pa.int64())),
                 pa.array(omh, pa.list_(pa.string())),
             ],
-            ["doc_id", "hs", "mh"],
+            ["doc_id", "hs", "hl", "mh"],
         )
 
 
@@ -150,18 +163,24 @@ def verify_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
     (bimodal 8s/31s per-query times), and impossible at scale where the
     pair list dwarfs memory. Shuffled-hash builds only each task's slice of
     the bounded signature table (guide §3.1) — stable here and the only
-    shape that survives 100 TB."""
-    sh = sigs.select("doc_id", "hs")
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    shape that survives 100 TB.
+
+    When `sigs` carries the int64 token column `hl` (see
+    MINHASH_DOC_SCHEMA), the intersect runs on primitive long arrays —
+    bijective with the hex tokens, so |∩| and the Jaccard are bit-identical
+    — instead of pointer-chasing a UTF8String per element."""
+    tok = "hl" if "hl" in sigs.columns else "hs"
+    sh = sigs.select("doc_id", tok)
+    inter = F.size(F.array_intersect("t_a", "t_b"))
     return (
         pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")).hint(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col(tok).alias("t_a")).hint(
                 "shuffle_hash"
             ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")).hint(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col(tok).alias("t_b")).hint(
                 "shuffle_hash"
             ),
             "doc_b",
@@ -170,7 +189,7 @@ def verify_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
             F.col("doc_a").cast("bigint").alias("doc_a"),
             F.col("doc_b").cast("bigint").alias("doc_b"),
             F.round(
-                inter / (F.size("hs_a") + F.size("hs_b") - inter),
+                inter / (F.size("t_a") + F.size("t_b") - inter),
                 6,
             ).alias("jaccard"),
         )

@@ -595,7 +595,9 @@ def run_streaming_neardup(
         # verify on committed signatures ∪ this batch's own (shared op;
         # same round-6 contract as the batch candidates path)
         sigs_all = _store(
-            "sigs", "doc_id bigint, hs array<string>, mh array<string>", bid
+            "sigs",
+            "doc_id bigint, hs array<string>, hl array<long>, mh array<string>",
+            bid,
         ).unionByName(md)
         edges = (
             verify_jaccard(pairs, sigs_all)
